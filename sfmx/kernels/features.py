@@ -1,0 +1,458 @@
+"""Feature detection + description: nonlinear scale space, Hessian NMS, M-LDB.
+
+Capability parity: the reference's AKAZE path (cv::AKAZE::detectAndCompute —
+FED nonlinear diffusion, Hessian-determinant extrema, M-LDB binary
+descriptors; SURVEY.md C2, §3.1 hot loop 1).
+
+TPU design decisions (not a translation of the OpenCV kernel):
+  * Full-resolution scale space (KAZE-style) instead of octave pyramids —
+    every level is the same static shape, so the whole stack is one batched
+    conv program with no resolution bookkeeping; HBM traffic is the cost,
+    MXU/VPU-friendly static shapes are the payoff.
+  * Perona-Malik g2 diffusion with a precomputed (host-side, static) FED
+    step schedule — the evolution is a `lax.scan` over fused 3x3 convs.
+  * Detection = 3x3x3 (space x scale) NMS + global masked top-K: every image
+    yields exactly K keypoint slots with a validity mask (static capacity,
+    SURVEY §7.4).
+  * Descriptors: rotated, scale-adapted grid samples of (L, Lx, Ly) ->
+    channel-wise pairwise comparisons (M-LDB analog) packed into uint32
+    words for Hamming matching, plus an L2-normalized float variant that
+    rides the MXU GEMM matcher.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Convolution helpers (NCHW, single channel)
+# ---------------------------------------------------------------------------
+
+def _conv2d(x: jax.Array, k: jax.Array, dilation: int = 1) -> jax.Array:
+    """Same-padded 2D conv of (B,H,W) with kernel (kh,kw)."""
+    kh, kw = k.shape
+    pad_h = (kh - 1) * dilation // 2
+    pad_w = (kw - 1) * dilation // 2
+    return jax.lax.conv_general_dilated(
+        x[:, None],
+        k[None, None],
+        window_strides=(1, 1),
+        padding=[(pad_h, pad_h), (pad_w, pad_w)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(x: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur of (B,H,W)."""
+    k = jnp.asarray(gaussian_kernel1d(sigma))
+    x = _conv2d(x, k[None, :])
+    return _conv2d(x, k[:, None])
+
+
+_SCHARR_X = jnp.asarray(
+    [[-3.0, 0.0, 3.0], [-10.0, 0.0, 10.0], [-3.0, 0.0, 3.0]], jnp.float32
+) / 32.0
+_SCHARR_Y = jnp.asarray(
+    [[-3.0, -10.0, -3.0], [0.0, 0.0, 0.0], [3.0, 10.0, 3.0]], jnp.float32
+) / 32.0
+
+
+def scharr(x: jax.Array, dilation: int = 1):
+    return _conv2d(x, _SCHARR_X, dilation), _conv2d(x, _SCHARR_Y, dilation)
+
+
+# ---------------------------------------------------------------------------
+# FED (fast explicit diffusion) schedule — host-side, static
+# ---------------------------------------------------------------------------
+
+def fed_tau_schedule(T: float, tau_max: float = 0.25) -> np.ndarray:
+    """FED cycle step sizes covering total diffusion time T.
+
+    Standard FED: n steps with tau_j = tau_max / (2 cos^2(pi (2j+1)/(4n+2)))
+    sum to tau_max * n(n+1)/3; pick smallest n reaching T, then scale.
+    """
+    if T <= 0:
+        return np.zeros(0, np.float32)
+    n = 1
+    while tau_max * n * (n + 1) / 3.0 < T:
+        n += 1
+    j = np.arange(n)
+    tau = tau_max / (2.0 * np.cos(np.pi * (2 * j + 1) / (4 * n + 2)) ** 2)
+    tau = tau * (T / tau.sum())
+    return tau.astype(np.float32)
+
+
+def _pm_g2(grad2: jax.Array, k2: jax.Array) -> jax.Array:
+    """Perona-Malik g2 conductivity: 1 / (1 + |grad|^2 / k^2)."""
+    return 1.0 / (1.0 + grad2 / k2)
+
+
+def _diffusion_step(L: jax.Array, k2: jax.Array, tau: jax.Array) -> jax.Array:
+    """One explicit diffusion step with conductivity from current gradients.
+
+    Uses the standard half-point-conductivity discretization on the 4-neighbor
+    stencil (same scheme family as the reference's FED solver).
+    """
+    Lx, Ly = scharr(L)
+    g = _pm_g2(Lx * Lx + Ly * Ly, k2)
+
+    gN = jnp.roll(g, 1, axis=1)
+    gS = jnp.roll(g, -1, axis=1)
+    gW = jnp.roll(g, 1, axis=2)
+    gE = jnp.roll(g, -1, axis=2)
+    LN = jnp.roll(L, 1, axis=1)
+    LS = jnp.roll(L, -1, axis=1)
+    LW = jnp.roll(L, 1, axis=2)
+    LE = jnp.roll(L, -1, axis=2)
+
+    flux = (
+        0.5 * (g + gN) * (LN - L)
+        + 0.5 * (g + gS) * (LS - L)
+        + 0.5 * (g + gW) * (LW - L)
+        + 0.5 * (g + gE) * (LE - L)
+    )
+    return L + tau * flux
+
+
+def contrast_k2(L: jax.Array, percentile: float = 70.0) -> jax.Array:
+    """Per-image contrast parameter^2 from the gradient-magnitude percentile."""
+    Lx, Ly = scharr(L)
+    mag = jnp.sqrt(Lx * Lx + Ly * Ly)
+    k = jnp.percentile(mag.reshape(mag.shape[0], -1), percentile, axis=1)
+    k = jnp.maximum(k, 1e-3)
+    return (k * k)[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Scale space
+# ---------------------------------------------------------------------------
+
+class ScaleSpaceConfig(NamedTuple):
+    """Integer scale levels: derivative aperture == sigma exactly.
+
+    Scale-adapted derivatives are taken with Scharr stencils dilated by
+    d = sigma (integers), which makes the det-Hessian response naturally
+    normalized across levels (the (sigma/d)^4 correction is exactly 1) —
+    fractional sigmas with rounded apertures biased alternate levels by up
+    to 2.4x and mis-assigned scales between views.
+    """
+
+    sigma_levels: tuple = (2, 3, 4, 5, 6)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.sigma_levels)
+
+    @property
+    def sigmas(self) -> np.ndarray:
+        return np.asarray(self.sigma_levels, np.float32)
+
+
+def build_scale_space(images: jax.Array, cfg: ScaleSpaceConfig):
+    """(B,H,W) -> levels (B,L,H,W) of nonlinearly diffused images."""
+    L0 = gaussian_blur(images, float(cfg.sigmas[0]))
+    k2 = contrast_k2(L0)
+    sigmas = cfg.sigmas
+    times = 0.5 * sigmas**2
+    levels = [L0]
+    L = L0
+    for i in range(1, cfg.n_levels):
+        taus = fed_tau_schedule(float(times[i] - times[i - 1]))
+        taus_arr = jnp.asarray(taus)
+
+        def step(Lc, tau):
+            return _diffusion_step(Lc, k2, tau), None
+
+        L, _ = jax.lax.scan(step, L, taus_arr)
+        levels.append(L)
+    return jnp.stack(levels, axis=1)  # (B,L,H,W)
+
+
+# ---------------------------------------------------------------------------
+# Detection
+# ---------------------------------------------------------------------------
+
+class Keypoints(NamedTuple):
+    uv: jax.Array        # (B,K,2) subpixel x,y in pixels
+    level: jax.Array     # (B,K) int32 scale-space level
+    sigma: jax.Array     # (B,K) scale
+    angle: jax.Array     # (B,K) orientation (radians)
+    response: jax.Array  # (B,K)
+    mask: jax.Array      # (B,K) bool valid
+
+
+def hessian_response(levels: jax.Array, cfg: ScaleSpaceConfig) -> jax.Array:
+    """Scale-normalized determinant-of-Hessian response per level (B,L,H,W).
+
+    Scale-adapted stencils: Scharr dilated by d = sigma measures structure AT
+    the level's scale, and with d == sigma exactly the usual (sigma/d)^4
+    normalization is identity — responses are directly comparable across
+    levels, which is what the 3x3x3 NMS and global top-K assume.
+    """
+    out = []
+    B, L, H, W = levels.shape
+    for i in range(L):
+        d = int(cfg.sigma_levels[i])
+        Li = levels[:, i]
+        Lx, Ly = scharr(Li, dilation=d)
+        Lxx, Lxy = scharr(Lx, dilation=d)
+        _, Lyy = scharr(Ly, dilation=d)
+        # aperture d == sigma: response is scale-normalized as-is
+        out.append(Lxx * Lyy - Lxy * Lxy)
+    return jnp.stack(out, axis=1)
+
+
+def _maxpool3x3(x: jax.Array) -> jax.Array:
+    """(B,L,H,W) -> same-shape 3x3 spatial max."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+
+
+def detect(levels: jax.Array, resp: jax.Array, cfg: ScaleSpaceConfig, *,
+           max_keypoints: int = 512, threshold: float = 1e-5, border: int = 10) -> Keypoints:
+    B, L, H, W = resp.shape
+    pooled = _maxpool3x3(resp)
+    is_max = (resp >= pooled) & (resp > threshold)
+    # scale NMS: strictly greater than same pixel in neighbor levels
+    up = jnp.concatenate([resp[:, 1:], jnp.full_like(resp[:, :1], -jnp.inf)], axis=1)
+    dn = jnp.concatenate([jnp.full_like(resp[:, :1], -jnp.inf), resp[:, :-1]], axis=1)
+    is_max &= (resp >= up) & (resp >= dn)
+    # border mask
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    bmask = (
+        ((ys >= border) & (ys < H - border))[:, None]
+        & ((xs >= border) & (xs < W - border))[None, :]
+    )
+    is_max &= bmask[None, None]
+
+    flat = jnp.where(is_max, resp, -jnp.inf).reshape(B, L * H * W)
+    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    mask = jnp.isfinite(vals) & (vals > threshold)
+    lvl = idx // (H * W)
+    rem = idx % (H * W)
+    iy = rem // W
+    ix = rem % W
+
+    # Subpixel refinement: 2D quadratic fit on the response at the level.
+    def refine_one(r_lhw, lvl_k, iy_k, ix_k):
+        def grab(dy, dx):
+            return r_lhw[lvl_k, iy_k + dy, ix_k + dx]
+
+        dx = 0.5 * (grab(0, 1) - grab(0, -1))
+        dy = 0.5 * (grab(1, 0) - grab(-1, 0))
+        dxx = grab(0, 1) + grab(0, -1) - 2.0 * grab(0, 0)
+        dyy = grab(1, 0) + grab(-1, 0) - 2.0 * grab(0, 0)
+        dxy = 0.25 * (grab(1, 1) - grab(1, -1) - grab(-1, 1) + grab(-1, -1))
+        det = dxx * dyy - dxy * dxy
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        ox = -(dyy * dx - dxy * dy) / det
+        oy = -(dxx * dy - dxy * dx) / det
+        ox = jnp.clip(ox, -0.5, 0.5)
+        oy = jnp.clip(oy, -0.5, 0.5)
+        return ox, oy
+
+    ox, oy = jax.vmap(jax.vmap(refine_one, in_axes=(None, 0, 0, 0)))(resp, lvl, iy, ix)
+    uv = jnp.stack([ix.astype(jnp.float32) + ox, iy.astype(jnp.float32) + oy], axis=-1)
+
+    # Cross-level radius suppression: the per-level NMS cannot see that the
+    # same blob fires at several scale levels one pixel apart; such duplicates
+    # make every keypoint its own second-best match and gut the Lowe ratio
+    # test.  Kill any keypoint with a strictly stronger (or equal-and-earlier)
+    # detection within `suppress_radius` px, across all levels.
+    suppress_radius = 3.0
+    d2 = jnp.sum((uv[:, :, None, :] - uv[:, None, :, :]) ** 2, axis=-1)  # (B,K,K)
+    order = jnp.arange(uv.shape[1])
+    stronger = (vals[:, None, :] > vals[:, :, None]) | (
+        (vals[:, None, :] == vals[:, :, None]) & (order[None, None, :] < order[None, :, None])
+    )
+    dup = jnp.any(
+        stronger & (d2 < suppress_radius**2) & mask[:, None, :], axis=-1
+    )
+    mask = mask & ~dup
+
+    sigma = jnp.asarray(cfg.sigmas)[lvl]
+    angle = _orientation(levels, lvl, iy, ix, sigma)
+    return Keypoints(uv=uv, level=lvl, sigma=sigma, angle=angle,
+                     response=jnp.where(mask, vals, 0.0), mask=mask)
+
+
+def _orientation(levels: jax.Array, lvl, iy, ix, sigma, grid_n: int = 13,
+                 support_sigmas: float = 9.0):
+    """Gradient-centroid orientation from a sigma-SCALED sampling window.
+
+    Samples a grid_n x grid_n grid spanning +-support_sigmas/2 * sigma around
+    the keypoint (bilinear), gaussian-weights the central-difference gradients
+    and takes atan2 of the vector sum.  Scaling the window with sigma makes
+    the orientation consistent when the same feature is detected at slightly
+    different levels in different views (AKAZE's dominant-orientation analog,
+    branch-free).
+    """
+    B, L, H, W = levels.shape
+    g = jnp.linspace(-0.5, 0.5, grid_n)
+    gxx, gyy = jnp.meshgrid(g, g)
+    wgt = jnp.exp(-0.5 * ((gxx**2 + gyy**2) / 0.16))  # gaussian over the window
+
+    def per_image(lv_lhw, lvl_k, iy_k, ix_k, sig_k):
+        img = lv_lhw[lvl_k]
+        span = support_sigmas * sig_k
+        x = ix_k + gxx * span
+        y = iy_k + gyy * span
+        step = jnp.maximum(sig_k, 1.0)
+        gx = 0.5 * (_bilinear(img, x + step, y) - _bilinear(img, x - step, y))
+        gy = 0.5 * (_bilinear(img, x, y + step) - _bilinear(img, x, y - step))
+        sx = jnp.sum(gx * wgt)
+        sy = jnp.sum(gy * wgt)
+        return jnp.arctan2(sy, sx)
+
+    return jax.vmap(jax.vmap(per_image, in_axes=(None, 0, 0, 0, 0)))(
+        levels, lvl, iy, ix, sigma
+    )
+
+
+# ---------------------------------------------------------------------------
+# Description (M-LDB analog)
+# ---------------------------------------------------------------------------
+
+_GRIDS = (2, 3, 4)  # cell partitions; channels (mean, dx, dy) each
+N_CELLS = sum(g * g for g in _GRIDS)                # 29
+N_FLOAT_DIM = 128                                   # padded float descriptor
+N_BITS = sum(3 * (g * g) * (g * g - 1) // 2 for g in _GRIDS)  # 486
+N_WORDS = (N_BITS + 31) // 32                       # 16 uint32 words
+
+_PATCH = 24  # samples per side of the canonical patch
+
+
+def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def describe(levels: jax.Array, kp: Keypoints):
+    """Compute descriptors for all keypoints.
+
+    Returns (desc_float (B,K,N_FLOAT_DIM) f32 L2-normalized,
+             desc_bits (B,K,N_WORDS) uint32).
+    """
+    B, L, H, W = levels.shape
+    g = jnp.linspace(-0.5, 0.5, _PATCH)
+    gx, gy = jnp.meshgrid(g, g)  # canonical grid in [-0.5,0.5]^2
+    grid = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (P2,2)
+
+    def one_kp(lv_lhw, uv, lvl, sigma, angle):
+        img = lv_lhw[lvl]
+        patch_scale = 20.0 * sigma  # patch spans ~20 sigma (AKAZE-like support)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        R = jnp.asarray([[ca, -sa], [sa, ca]])
+        pts = (grid * patch_scale) @ R.T + uv  # (P2,2) image coords
+        vals = _bilinear(img, pts[:, 0], pts[:, 1]).reshape(_PATCH, _PATCH)
+        # gradients in the rotated frame
+        dx_img = 0.5 * (
+            _bilinear(img, pts[:, 0] + 1.0, pts[:, 1]) - _bilinear(img, pts[:, 0] - 1.0, pts[:, 1])
+        )
+        dy_img = 0.5 * (
+            _bilinear(img, pts[:, 0], pts[:, 1] + 1.0) - _bilinear(img, pts[:, 0], pts[:, 1] - 1.0)
+        )
+        dxr = (ca * dx_img + sa * dy_img).reshape(_PATCH, _PATCH)
+        dyr = (-sa * dx_img + ca * dy_img).reshape(_PATCH, _PATCH)
+
+        cells = []
+        for gdim in _GRIDS:
+            cs = _PATCH // gdim
+            for ch in (vals, dxr, dyr):
+                m = ch[: gdim * cs, : gdim * cs].reshape(gdim, cs, gdim, cs).mean(axis=(1, 3))
+                cells.append(m.ravel())
+        # layout: [g2:mean,dx,dy | g3:mean,dx,dy | g4:...] each (g*g,)
+        return jnp.concatenate(cells)  # (3*29,) = 87
+
+    feats = jax.vmap(
+        jax.vmap(one_kp, in_axes=(None, 0, 0, 0, 0))
+    )(levels, kp.uv, kp.level, kp.sigma, kp.angle)  # (B,K,87)
+
+    # Float descriptor: per-(grid,channel)-group standardization (subtract the
+    # group mean, unit-normalize the group) before the global L2 norm.  Raw
+    # cell values share a large common-mode component (every keypoint has a
+    # bright/dark center), which otherwise dominates the inner product and
+    # makes impostors score higher than true matches.
+    groups = []
+    off = 0
+    for gdim in _GRIDS:
+        n = gdim * gdim
+        for _ch in range(3):
+            v = feats[..., off:off + n]
+            off += n
+            v = v - jnp.mean(v, axis=-1, keepdims=True)
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+            groups.append(v)
+    f = jnp.concatenate(groups, axis=-1)
+    f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
+    pad = N_FLOAT_DIM - f.shape[-1]
+    desc_float = jnp.pad(f, ((0, 0), (0, 0), (0, pad)))
+    desc_float = jnp.where(kp.mask[..., None], desc_float, 0.0)
+
+    # Binary descriptor: pairwise comparisons within each grid+channel group.
+    bits = []
+    off = 0
+    for gdim in _GRIDS:
+        n = gdim * gdim
+        for _ch in range(3):
+            v = feats[..., off:off + n]
+            off += n
+            iu, ju = np.triu_indices(n, k=1)
+            bits.append(v[..., iu] > v[..., ju])
+    bits = jnp.concatenate(bits, axis=-1)  # (B,K,486) bool
+    pad_bits = N_WORDS * 32 - bits.shape[-1]
+    bits = jnp.pad(bits, ((0, 0), (0, 0), (0, pad_bits)))
+    w = bits.reshape(*bits.shape[:-1], N_WORDS, 32).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    desc_bits = jnp.sum(w << shifts, axis=-1).astype(jnp.uint32)
+    desc_bits = jnp.where(kp.mask[..., None], desc_bits, 0)
+    return desc_float, desc_bits
+
+
+class Features(NamedTuple):
+    kp: Keypoints
+    desc: jax.Array       # (B,K,N_FLOAT_DIM) float
+    desc_bits: jax.Array  # (B,K,N_WORDS) uint32
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_keypoints", "threshold"))
+def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceConfig(), *,
+                        max_keypoints: int = 512, threshold: float = 1e-5) -> Features:
+    """Full extraction: (B,H,W) f32 in [0,1] -> Features with static K capacity."""
+    levels = build_scale_space(images, cfg)
+    resp = hessian_response(levels, cfg)
+    kp = detect(levels, resp, cfg, max_keypoints=max_keypoints, threshold=threshold)
+    desc_float, desc_bits = describe(levels, kp)
+    return Features(kp=kp, desc=desc_float, desc_bits=desc_bits)

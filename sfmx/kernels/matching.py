@@ -1,0 +1,144 @@
+"""Descriptor matching: GEMM / Hamming brute-force + Lowe ratio + cross-check.
+
+Capability parity: OpenMVG's brute-force matcher with ratio test and the
+pairwise geometric (E/F RANSAC) filter (SURVEY.md C3, §3.1 hot loop 2).
+
+TPU design: a match of image A vs B is one (K,D)x(D,K) MXU GEMM (float
+descriptors, cosine similarity == negative squared L2 for unit vectors) or an
+XOR+popcount reduction (binary M-LDB words); top-2 + ratio + mutual-best are
+vectorized masks.  All-pairs matching is a vmap over a static pair list —
+the jnp reference implementation here is the parity oracle for the tiled
+Pallas kernel in ``pallas_match.py``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.masking import NEG_INF
+
+
+class MatchResult(NamedTuple):
+    idx: jax.Array    # (Ka,) best match index into B
+    valid: jax.Array  # (Ka,) bool passed ratio + cross-check + masks
+    score: jax.Array  # (Ka,) similarity of best match
+
+
+def _top2(sim: jax.Array):
+    """Best and second-best along last axis."""
+    v, i = jax.lax.top_k(sim, 2)
+    return v[..., 0], i[..., 0], v[..., 1]
+
+
+def match_similarity(sim: jax.Array, mask_a: jax.Array, mask_b: jax.Array,
+                     ratio: float, cross_check: bool = True) -> MatchResult:
+    """Ratio + mutual-best filtering given a (Ka,Kb) similarity matrix.
+
+    ``ratio`` is applied in distance domain for unit float descriptors:
+    d^2 = 2 - 2 s, accept if d1^2 < ratio^2 * d2^2.
+    """
+    sim = jnp.where(mask_a[:, None] & mask_b[None, :], sim, NEG_INF)
+    s1, i1, s2 = _top2(sim)
+    d1 = jnp.maximum(2.0 - 2.0 * s1, 0.0)
+    d2 = jnp.maximum(2.0 - 2.0 * s2, 1e-12)
+    ok = (d1 < ratio * ratio * d2) & (s1 > NEG_INF / 2)
+    if cross_check:
+        j1 = jnp.argmax(sim, axis=0)  # best A for each B
+        ok &= j1[i1] == jnp.arange(sim.shape[0])
+    return MatchResult(idx=i1, valid=ok & mask_a, score=s1)
+
+
+def match_float(desc_a: jax.Array, desc_b: jax.Array, mask_a: jax.Array,
+                mask_b: jax.Array, *, ratio: float = 0.8,
+                cross_check: bool = True) -> MatchResult:
+    """Brute-force match of unit-norm float descriptors (one MXU GEMM).
+
+    Descriptor similarity tolerates low precision — explicitly run the GEMM
+    in bf16 for full MXU throughput (the library default is highest-precision
+    matmuls for geometry; see sfmx/__init__.py).
+    """
+    sim = jnp.dot(
+        desc_a.astype(jnp.bfloat16), desc_b.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return match_similarity(sim, mask_a, mask_b, ratio, cross_check)
+
+
+def hamming_distance(bits_a: jax.Array, bits_b: jax.Array) -> jax.Array:
+    """(Ka,W) x (Kb,W) uint32 -> (Ka,Kb) int32 Hamming distances."""
+    x = jnp.bitwise_xor(bits_a[:, None, :], bits_b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def match_hamming(bits_a: jax.Array, bits_b: jax.Array, mask_a: jax.Array,
+                  mask_b: jax.Array, *, ratio: float = 0.8, n_bits: int = 486,
+                  cross_check: bool = True) -> MatchResult:
+    """Brute-force Hamming match of packed binary descriptors."""
+    d = hamming_distance(bits_a, bits_b).astype(jnp.float32)
+    sim = -d  # similarity ordering
+    sim = jnp.where(mask_a[:, None] & mask_b[None, :], sim, NEG_INF)
+    s1, i1, s2 = _top2(sim)
+    d1, d2 = -s1, jnp.maximum(-s2, 1e-6)
+    ok = (d1 < ratio * d2) & (s1 > NEG_INF / 2)
+    if cross_check:
+        j1 = jnp.argmax(sim, axis=0)
+        ok &= j1[i1] == jnp.arange(sim.shape[0])
+    return MatchResult(idx=i1, valid=ok & mask_a, score=s1)
+
+
+# Batched over a pair list: descs (C,K,D), pairs (Np,2) int32.
+@partial(jax.jit, static_argnames=("ratio", "cross_check"))
+def match_pairs_float(descs: jax.Array, masks: jax.Array, pairs: jax.Array, *,
+                      ratio: float = 0.8, cross_check: bool = True) -> MatchResult:
+    def one(pair):
+        a, b = pair[0], pair[1]
+        return match_float(descs[a], descs[b], masks[a], masks[b],
+                           ratio=ratio, cross_check=cross_check)
+
+    return jax.vmap(one)(pairs)  # fields have leading (Np,) axis
+
+
+def geometric_verify_pairs(
+    key: jax.Array,
+    xn: jax.Array,          # (C,K,2) normalized coords for all features
+    kp_mask: jax.Array,     # (C,K)
+    pairs: jax.Array,       # (Np,2)
+    matches: MatchResult,   # batched over pairs; idx (Np,K)
+    *,
+    threshold: float = 1e-5,
+    k_hypotheses: int = 256,
+):
+    """Essential-matrix RANSAC filter per pair, batched over all pairs at once.
+
+    Returns (inlier_mask (Np,K) bool aligned to matches.idx, inlier_counts).
+    Threshold is squared Sampson error in normalized coords
+    (~ (px_thresh/f)^2).
+    """
+    from ..solvers import epipolar, ransac
+
+    def verify_one(key, pair, midx, mvalid):
+        a, b = pair[0], pair[1]
+        x1 = xn[a]
+        x2 = xn[b][midx]
+        valid = mvalid & kp_mask[a] & kp_mask[b][midx]
+
+        def solver(x1s, x2s):
+            return epipolar.eight_point(
+                x1s, x2s, jnp.ones(x1s.shape[0], dtype=bool), essential=True
+            )
+
+        def residual_fn(E, x1d, x2d):
+            return epipolar.sampson_error(E, x1d, x2d)
+
+        E, inliers, cnt = ransac.ransac(
+            key, solver, residual_fn, (x1, x2), valid,
+            k_hypotheses=k_hypotheses, sample_size=8, inlier_threshold=threshold,
+        )
+        return inliers, cnt
+
+    keys = jax.random.split(key, pairs.shape[0])
+    return jax.vmap(verify_one)(keys, pairs, matches.idx, matches.valid)

@@ -1,0 +1,181 @@
+"""Visual localization: retrieval → 2D-3D matching → PnP-RANSAC.
+
+Capability parity: the reference's C++ localizer (SURVEY.md §3.2): query
+features → candidate keyframe retrieval (BoW/beacon prefilter) → 2D-3D
+matching against landmark descriptors → solvePnPRansac → pose + inlier
+confidence.
+
+TPU design: the whole query path is ONE jitted function over static
+capacities — global-descriptor GEMM retrieval, candidate-landmark gather,
+(K x M) descriptor GEMM with mutual-best + absolute threshold, batched
+PnP-RANSAC, GN refine.  It vmaps over a query batch, which is what the
+serving layer (C14) feeds it.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import cameras
+from ..core.masking import NEG_INF
+from ..mapstore.scene import Scene
+from ..solvers import pnp, ransac
+
+
+class LocalizationMap(NamedTuple):
+    """Device-resident map for serving. P landmarks, C keyframes, D desc dim."""
+
+    X: jax.Array          # (P,3) landmark positions
+    lm_desc: jax.Array    # (P,D) mean landmark descriptor (unit norm)
+    lm_alive: jax.Array   # (P,)
+    kf_gdesc: jax.Array   # (C,D) keyframe global descriptor (unit norm)
+    kf_alive: jax.Array   # (C,)
+    kf_centers: jax.Array  # (C,3) keyframe camera centers (for beacon gating)
+    kf_lm: jax.Array      # (C,Kc) landmark ids observed per keyframe (-1 pad -> 0)
+    kf_lm_mask: jax.Array  # (C,Kc)
+
+
+class LocalizeResult(NamedTuple):
+    R: jax.Array          # (3,3) world->cam
+    t: jax.Array          # (3,)
+    n_inliers: jax.Array  # () int32
+    confidence: jax.Array  # () float in [0,1]
+    center: jax.Array     # (3,) camera center in world frame
+
+
+def build_localization_map(scene: Scene, feat_desc: np.ndarray,
+                           obs_feat: np.ndarray, kf_lm_cap: int = 512) -> LocalizationMap:
+    """Aggregate per-feature descriptors into the serving map (host-side, once).
+
+    Args:
+      feat_desc: (C,K,D) float descriptors of every keyframe feature.
+      obs_feat: (O,) feature index of each scene observation (from TrackTable).
+    """
+    obs_cam = np.asarray(scene.obs_cam)
+    obs_pt = np.asarray(scene.obs_pt)
+    obs_alive = np.asarray(scene.obs_alive)
+    P = scene.X.shape[0]
+    C, K, D = feat_desc.shape
+
+    lm_desc = np.zeros((P, D), np.float32)
+    cnt = np.zeros(P, np.float32)
+    d = feat_desc[obs_cam[obs_alive], obs_feat[obs_alive]]
+    np.add.at(lm_desc, obs_pt[obs_alive], d)
+    np.add.at(cnt, obs_pt[obs_alive], 1.0)
+    lm_desc /= np.maximum(cnt[:, None], 1.0)
+    lm_desc /= np.maximum(np.linalg.norm(lm_desc, axis=1, keepdims=True), 1e-8)
+
+    kf_gdesc = feat_desc.mean(axis=1)
+    kf_gdesc /= np.maximum(np.linalg.norm(kf_gdesc, axis=1, keepdims=True), 1e-8)
+
+    kf_lm = np.zeros((C, kf_lm_cap), np.int32)
+    kf_lm_mask = np.zeros((C, kf_lm_cap), bool)
+    for c in range(C):
+        ids = np.unique(obs_pt[(obs_cam == c) & obs_alive])
+        n = min(len(ids), kf_lm_cap)
+        kf_lm[c, :n] = ids[:n]
+        kf_lm_mask[c, :n] = True
+
+    return LocalizationMap(
+        X=scene.X,
+        lm_desc=jnp.asarray(lm_desc),
+        lm_alive=scene.X_alive,
+        kf_gdesc=jnp.asarray(kf_gdesc),
+        kf_alive=scene.cam_alive,
+        kf_centers=scene.centers,
+        kf_lm=jnp.asarray(kf_lm),
+        kf_lm_mask=jnp.asarray(kf_lm_mask),
+    )
+
+
+@partial(jax.jit, static_argnames=("top_k_kf", "m_cap", "k_hypotheses"))
+def localize_query(
+    lmap: LocalizationMap,
+    q_desc: jax.Array,      # (K,D) query descriptors (unit norm)
+    q_uv: jax.Array,        # (K,2) pixel coords
+    q_mask: jax.Array,      # (K,)
+    intr: jax.Array,        # (7,) query camera intrinsics
+    key: jax.Array,
+    *,
+    top_k_kf: int = 8,
+    m_cap: int = 2048,
+    k_hypotheses: int = 1024,
+    px_thresh: float = 4.0,
+    sim_thresh: float = 0.75,
+    min_inliers: int = 12,
+    prior_center: jax.Array | None = None,
+    prior_radius: float = 0.0,
+) -> LocalizeResult:
+    """Localize one query image against the map. Fully jitted; vmap for batches.
+
+    prior_center/prior_radius: optional beacon-fused position prior — keyframes
+    outside the radius are excluded from retrieval (C10 fusion hook).
+    """
+    # --- retrieval (C8): global-descriptor scores, optional beacon gate ----
+    qg = jnp.sum(jnp.where(q_mask[:, None], q_desc, 0.0), axis=0)
+    qg = qg / jnp.maximum(jnp.linalg.norm(qg), 1e-8)
+    scores = lmap.kf_gdesc @ qg  # (C,)
+    gate = lmap.kf_alive
+    if prior_center is not None:
+        d2 = jnp.sum((lmap.kf_centers - prior_center) ** 2, axis=-1)
+        gate = gate & (d2 <= prior_radius * prior_radius)
+    scores = jnp.where(gate, scores, NEG_INF)
+    # clamp: small maps may hold fewer keyframes than the retrieval fan-out
+    _, kf_idx = jax.lax.top_k(scores, min(top_k_kf, scores.shape[0]))
+    kf_ok = jnp.take(scores, kf_idx) > NEG_INF / 2
+
+    # --- candidate landmark set (gather; duplicates tolerated) -------------
+    cand = lmap.kf_lm[kf_idx].reshape(-1)[:m_cap]
+    cand_mask = (lmap.kf_lm_mask[kf_idx] & kf_ok[:, None]).reshape(-1)[:m_cap]
+    cand_mask &= lmap.lm_alive[cand]
+    cdesc = lmap.lm_desc[cand]          # (M,D)
+    cX = lmap.X[cand]                   # (M,3)
+
+    # --- 2D-3D matching: absolute-threshold + mutual best ------------------
+    sim = jnp.dot(q_desc, cdesc.T, preferred_element_type=jnp.float32)
+    sim = jnp.where(q_mask[:, None] & cand_mask[None, :], sim, NEG_INF)
+    best_m = jnp.argmax(sim, axis=1)                     # (K,)
+    best_s = jnp.max(sim, axis=1)
+    mutual = jnp.argmax(sim, axis=0)[best_m] == jnp.arange(q_desc.shape[0])
+    corr_ok = (best_s > sim_thresh) & mutual & q_mask
+
+    xn = cameras.pixel_to_normalized(intr, q_uv)         # (K,2)
+    X3 = cX[best_m]                                      # (K,3)
+
+    # --- PnP-RANSAC + refine ----------------------------------------------
+    f_mean = 0.5 * (intr[0] + intr[1])
+    thresh_n = (px_thresh / f_mean) ** 2
+
+    def residual_fn(model, xn_d, X_d):
+        R, t = model
+        r = pnp.pnp_residual(R, t, xn_d, X_d)
+        return jnp.sum(r * r, axis=-1)
+
+    (R, t), inliers, _ = ransac.ransac(
+        key, pnp.dlt_pnp_minimal, residual_fn, (xn, X3), corr_ok,
+        k_hypotheses=k_hypotheses, sample_size=pnp.MIN_SAMPLE,
+        inlier_threshold=thresh_n,
+    )
+    R, t = pnp.refine_pnp_gn(R, t, xn, X3, inliers)
+    r = residual_fn((R, t), xn, X3)
+    inliers = (r < thresh_n) & corr_ok
+    n_inl = jnp.sum(inliers.astype(jnp.int32))
+    n_corr = jnp.maximum(jnp.sum(corr_ok.astype(jnp.int32)), 1)
+    conf = jnp.where(
+        n_inl >= min_inliers,
+        jnp.clip(n_inl.astype(jnp.float32) / n_corr.astype(jnp.float32), 0.0, 1.0),
+        0.0,
+    )
+    center = -R.T @ t
+    return LocalizeResult(R=R, t=t, n_inliers=n_inl, confidence=conf, center=center)
+
+
+def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key, **kw):
+    """vmapped batch localization: leading axis B on q_*; shared intrinsics."""
+    keys = jax.random.split(key, q_desc.shape[0])
+    fn = lambda d, u, m, k_: localize_query(lmap, d, u, m, intr, k_, **kw)
+    return jax.vmap(fn)(q_desc, q_uv, q_mask, keys)

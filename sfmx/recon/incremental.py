@@ -1,0 +1,362 @@
+"""Incremental SfM engine: two-view init → resection → triangulation → BA.
+
+Capability parity: OpenMVG's ``SequentialSfM_ReconstructionEngine``
+(SURVEY.md C4, §3.1 hot loop 3): initial-pair selection, E-matrix two-view
+initialization, sequential PnP resection, track triangulation, periodic
+bundle adjustment, outlier pruning.
+
+TPU design (not a translation):
+  * Landmark id == track id.  The observation table is FIXED at track-build
+    time; "growing the map" = flipping alive masks.  Every device step —
+    resection RANSAC, triangulate-everything, BA — therefore runs at one
+    static shape and compiles exactly once per map build.
+  * Triangulation is not per-track: each round re-triangulates ALL
+    unreconstructed tracks against the current registered set in one vmapped
+    N-view DLT call and gates the results (cheirality, parallax, reprojection).
+  * The outer loop (which camera next) is host orchestration — it is
+    O(#cams) decision logic, not compute.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import cameras
+from ..mapstore.scene import Scene, new_scene
+from ..solvers import epipolar, lm, pnp, ransac, triangulate
+from .tracks import TrackTable
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconConfig:
+    max_track_views: int = 8          # V cap for n-view triangulation
+    ransac_hypotheses: int = 512
+    px_thresh: float = 4.0            # inlier threshold (pixels)
+    min_parallax_deg: float = 1.5
+    min_init_inliers: int = 30
+    min_resection_inliers: int = 10
+    ba_every: int = 3
+    ba_iters: int = 10
+    final_ba_iters: int = 25
+    cg_iters: int = 30
+    huber_px: float = 4.0
+    min_track_views: int = 2
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Device steps (jit once per map build; all static shapes)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k_hyp",))
+def _init_pair_step(key, xn_a, xn_b, valid, thresh, k_hyp: int):
+    """E-RANSAC + relative pose for a candidate init pair."""
+
+    def solver(x1s, x2s):
+        return epipolar.eight_point(x1s, x2s, jnp.ones(x1s.shape[0], bool), essential=True)
+
+    def residual_fn(E, x1d, x2d):
+        return epipolar.sampson_error(E, x1d, x2d)
+
+    E, inliers, cnt = ransac.ransac(
+        key, solver, residual_fn, (xn_a, xn_b), valid,
+        k_hypotheses=k_hyp, sample_size=8, inlier_threshold=thresh,
+    )
+    R, t, n_front, X = epipolar.relative_pose_from_essential(E, xn_a, xn_b, inliers)
+    # median triangulation angle of inliers
+    c1 = jnp.zeros(3, xn_a.dtype)
+    c2 = -R.T @ t
+    par = triangulate.parallax_deg(c1, c2, X)
+    par_med = jnp.nanmedian(jnp.where(inliers, par, jnp.nan))
+    return R, t, inliers, cnt, par_med
+
+
+@partial(jax.jit, static_argnames=("k_hyp",))
+def _resect_step(key, xn, X, valid, thresh_n, k_hyp: int):
+    """PnP-RANSAC + GN refine for one camera against its 2D-3D set."""
+
+    def residual_fn(model, xn_d, X_d):
+        R, t = model
+        r = pnp.pnp_residual(R, t, xn_d, X_d)
+        return jnp.sum(r * r, axis=-1)
+
+    (R, t), inliers, cnt = ransac.ransac(
+        key, pnp.dlt_pnp_minimal, residual_fn, (xn, X), valid,
+        k_hypotheses=k_hyp, sample_size=pnp.MIN_SAMPLE, inlier_threshold=thresh_n,
+    )
+    R, t = pnp.refine_pnp_gn(R, t, xn, X, inliers)
+    r = residual_fn((R, t), xn, X)
+    inliers = (r < thresh_n) & valid
+    return R, t, inliers, jnp.sum(inliers.astype(jnp.int32))
+
+
+@jax.jit
+def _triangulate_all(cam_R, cam_t, registered, xn_feat, tr_obs_cam, tr_obs_xn_idx,
+                     tr_obs_mask, thresh_n, min_parallax_deg):
+    """Re-triangulate every track from its registered observations.
+
+    Args:
+      xn_feat: (C,K,2) normalized coords of all features.
+      tr_obs_cam:    (T,V) camera id of each track observation slot.
+      tr_obs_xn_idx: (T,V) feature index of that observation.
+      tr_obs_mask:   (T,V) slot validity (track may have <V observations).
+
+    Returns (X (T,3), ok (T,)) gated on cheirality in all registered views,
+    reprojection below thresh_n in all of them, and max pairwise parallax.
+    """
+    use = tr_obs_mask & registered[tr_obs_cam]  # (T,V)
+    P_all = jnp.concatenate([cam_R, cam_t[:, :, None]], axis=2)  # (C,3,4)
+    Ps = P_all[tr_obs_cam]  # (T,V,3,4)
+    xns = xn_feat[tr_obs_cam, tr_obs_xn_idx]  # (T,V,2)
+    X, ok2 = triangulate.triangulate_nview_b(Ps, xns, use)
+
+    # Gates, all masked over V slots.
+    Xc = jnp.einsum("tvij,tj->tvi", Ps[:, :, :, :3], X) + Ps[:, :, :, 3]
+    z = Xc[..., 2]
+    cheir = jnp.where(use, z > 1e-3, True).all(axis=1)
+    reproj = Xc[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-9, 1e-9, z[..., None]) - xns
+    err = jnp.sum(reproj * reproj, axis=-1)
+    reproj_ok = jnp.where(use, err < thresh_n, True).all(axis=1)
+    centers = -jnp.einsum("cji,cj->ci", cam_R, cam_t)[tr_obs_cam]  # (T,V,3)
+    d = centers - X[:, None, :]
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.einsum("tvi,twi->tvw", dn, dn)
+    pair_ok = use[:, :, None] & use[:, None, :]
+    min_cos = jnp.min(jnp.where(pair_ok, cosang, 1.0), axis=(1, 2))
+    par_ok = min_cos < jnp.cos(jnp.deg2rad(min_parallax_deg))
+    return X, ok2 & cheir & reproj_ok & par_ok
+
+
+@jax.jit
+def _reproj_err2_norm(cam_R, cam_t, X, obs_cam, obs_pt, xn_obs):
+    """Squared reprojection error in normalized coords for every observation."""
+    Xc = jnp.einsum("oij,oj->oi", cam_R[obs_cam], X[obs_pt]) + cam_t[obs_cam]
+    z = Xc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    r = Xc[:, :2] / zs[:, None] - xn_obs
+    behind = z <= 1e-4
+    return jnp.sum(r * r, axis=-1) + jnp.where(behind, 1e6, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+class ReconError(RuntimeError):
+    pass
+
+
+def reconstruct(
+    kp_uv: np.ndarray,      # (C,K,2) keypoint pixel coords
+    kp_mask: np.ndarray,    # (C,K)
+    tt: TrackTable,
+    intr: np.ndarray,       # (I,7)
+    cam_k: np.ndarray,      # (C,) intrinsics index
+    cfg: ReconConfig = ReconConfig(),
+    callbacks=None,
+) -> tuple[Scene, dict]:
+    C, K, _ = kp_uv.shape
+    T = tt.n_tracks
+    if T == 0:
+        raise ReconError("no tracks")
+    O = len(tt.obs_cam)
+    V = cfg.max_track_views
+    key = jax.random.PRNGKey(cfg.seed)
+    f_mean = float(np.mean(intr[:, :2]))
+    thresh_n = (cfg.px_thresh / f_mean) ** 2
+
+    # Normalized coords for every feature (device, batched).
+    intr_j = jnp.asarray(intr, jnp.float32)
+    xn_feat = jax.vmap(lambda k_v, uv: cameras.pixel_to_normalized(k_v, uv))(
+        intr_j[np.asarray(cam_k)], jnp.asarray(kp_uv, jnp.float32)
+    )  # (C,K,2)
+    xn_feat_np = np.asarray(xn_feat)
+
+    # Static per-track observation slots (first V observations of each track).
+    starts, ends = tt.track_slices()
+    tr_obs_cam = np.zeros((T, V), np.int32)
+    tr_obs_feat = np.zeros((T, V), np.int32)
+    tr_obs_mask = np.zeros((T, V), bool)
+    for t_i, (s, e) in enumerate(zip(starts, ends)):
+        n = min(e - s, V)
+        tr_obs_cam[t_i, :n] = tt.obs_cam[s:s + n]
+        tr_obs_feat[t_i, :n] = tt.obs_feat[s:s + n]
+        tr_obs_mask[t_i, :n] = True
+
+    # Scene obs table == track table (landmark id = track id).
+    obs_cam = tt.obs_cam
+    obs_pt = tt.obs_track
+    obs_uv = kp_uv[obs_cam, tt.obs_feat]
+    xn_obs = xn_feat_np[obs_cam, tt.obs_feat]
+
+    # Host-side mutable state.
+    registered = np.zeros(C, bool)
+    failed = np.zeros(C, bool)
+    cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_t = np.zeros((C, 3), np.float32)
+    X = np.zeros((T, 3), np.float32)
+    X_alive = np.zeros(T, bool)
+    obs_pruned = np.zeros(O, bool)
+
+    # Per-cam track lists (host, static).
+    cam_tracks = [tt.obs_track[obs_cam == c] for c in range(C)]
+    cam_feats = [tt.obs_feat[obs_cam == c] for c in range(C)]
+
+    def obs_alive_mask():
+        return registered[obs_cam] & X_alive[obs_pt] & ~obs_pruned
+
+    # ---- initial pair -----------------------------------------------------
+    cov = np.zeros((C, C), np.int32)
+    for s, e in zip(starts, ends):
+        cams_in = tt.obs_cam[s:e]
+        for i in range(len(cams_in)):
+            for j in range(i + 1, len(cams_in)):
+                a, b = cams_in[i], cams_in[j]
+                cov[a, b] += 1
+                cov[b, a] += 1
+
+    pair_order = np.dstack(np.unravel_index(np.argsort(cov, axis=None)[::-1], cov.shape))[0]
+    pair_order = [(a, b) for a, b in pair_order if a < b][:10]
+
+    init_done = False
+    stats = {"ransac_inliers": [], "ba_costs": []}
+    for (a, b) in pair_order:
+        if cov[a, b] < cfg.min_init_inliers:
+            break
+        # correspondences: tracks observed by both
+        shared, ia, ib = np.intersect1d(cam_tracks[a], cam_tracks[b], return_indices=True)
+        xa = np.zeros((K, 2), np.float32)
+        xb = np.zeros((K, 2), np.float32)
+        valid = np.zeros(K, bool)
+        n = min(len(shared), K)
+        xa[:n] = xn_feat_np[a, cam_feats[a][ia[:n]]]
+        xb[:n] = xn_feat_np[b, cam_feats[b][ib[:n]]]
+        valid[:n] = True
+        key, sk = jax.random.split(key)
+        R, t, inl, cnt, par = _init_pair_step(
+            sk, jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(valid),
+            thresh_n, cfg.ransac_hypotheses,
+        )
+        if int(cnt) >= cfg.min_init_inliers and float(par) > cfg.min_parallax_deg:
+            cam_R[a], cam_t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+            cam_R[b], cam_t[b] = np.asarray(R), np.asarray(t)
+            registered[a] = registered[b] = True
+            init_done = True
+            stats["init_pair"] = (int(a), int(b))
+            break
+    if not init_done:
+        raise ReconError("no valid initial pair")
+
+    def run_triangulation():
+        Xn, ok = _triangulate_all(
+            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(registered),
+            xn_feat, jnp.asarray(tr_obs_cam), jnp.asarray(tr_obs_feat),
+            jnp.asarray(tr_obs_mask), thresh_n, cfg.min_parallax_deg,
+        )
+        ok = np.asarray(ok)
+        Xn = np.asarray(Xn)
+        newly = ok & ~X_alive
+        X[newly] = Xn[newly]
+        X_alive[newly] = True
+
+    def run_ba(iters):
+        nonlocal cam_R, cam_t, X
+        alive = obs_alive_mask()
+        w = alive.astype(np.float32)
+        fixed = np.zeros(C, bool)
+        fixed[~registered] = True
+        fixed[np.flatnonzero(registered)[0]] = True
+        R2, t2, X2, costs = lm.ba_solve(
+            intr_j, jnp.asarray(cam_k, jnp.int32),
+            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uv, jnp.float32),
+            jnp.asarray(w), jnp.asarray(fixed),
+            iters=iters, cg_iters=cfg.cg_iters, huber_px=cfg.huber_px,
+        )
+        # np.array (copy): jax->numpy views are read-only, host state is mutable
+        cam_R = np.array(R2)
+        cam_t = np.array(t2)
+        X = np.array(X2)
+        stats["ba_costs"].append([float(costs[0]), float(costs[-1])])
+        # prune observations with large error; kill starved points
+        err2 = np.asarray(_reproj_err2_norm(
+            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(xn_obs, jnp.float32),
+        ))
+        obs_pruned[:] |= (err2 > thresh_n * 4.0) & obs_alive_mask()
+        alive = obs_alive_mask()
+        obs_count = np.bincount(obs_pt[alive], minlength=T)
+        X_alive[obs_count < cfg.min_track_views] = False
+
+    run_triangulation()
+    if X_alive.sum() < 8:
+        raise ReconError("initial triangulation produced too few points")
+    run_ba(cfg.ba_iters)
+
+    # ---- incremental loop --------------------------------------------------
+    n_since_ba = 0
+    while True:
+        # next camera: most 2D-3D correspondences among unregistered
+        counts = np.array([
+            0 if (registered[c] or failed[c]) else int(X_alive[cam_tracks[c]].sum())
+            for c in range(C)
+        ])
+        c = int(np.argmax(counts))
+        if counts[c] < cfg.min_resection_inliers:
+            break
+
+        sel = X_alive[cam_tracks[c]]
+        xs = np.zeros((K, 2), np.float32)
+        Xs = np.zeros((K, 3), np.float32)
+        valid = np.zeros(K, bool)
+        n = min(int(sel.sum()), K)
+        feats_sel = cam_feats[c][sel][:n]
+        tracks_sel = cam_tracks[c][sel][:n]
+        xs[:n] = xn_feat_np[c, feats_sel]
+        Xs[:n] = X[tracks_sel]
+        valid[:n] = True
+        key, sk = jax.random.split(key)
+        R, t, inl, cnt = _resect_step(
+            sk, jnp.asarray(xs), jnp.asarray(Xs), jnp.asarray(valid),
+            thresh_n, cfg.ransac_hypotheses,
+        )
+        if int(cnt) < cfg.min_resection_inliers:
+            failed[c] = True
+            continue
+        cam_R[c] = np.asarray(R)
+        cam_t[c] = np.asarray(t)
+        registered[c] = True
+        stats["ransac_inliers"].append(int(cnt))
+        # prune this camera's outlier 2D-3D observations
+        inl_np = np.asarray(inl)[:n]
+        bad_tracks = tracks_sel[~inl_np]
+        if len(bad_tracks):
+            bad = (obs_cam == c) & np.isin(obs_pt, bad_tracks)
+            obs_pruned[bad] = True
+
+        run_triangulation()
+        n_since_ba += 1
+        if n_since_ba >= cfg.ba_every:
+            run_ba(cfg.ba_iters)
+            n_since_ba = 0
+        if callbacks:
+            callbacks(registered.copy(), X_alive.copy())
+
+    run_ba(cfg.final_ba_iters)
+
+    scene = new_scene(C, T, O, intr, cam_k=jnp.asarray(cam_k, jnp.int32))
+    scene = dataclasses.replace(
+        scene,
+        cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+        cam_alive=jnp.asarray(registered),
+        X=jnp.asarray(X), X_alive=jnp.asarray(X_alive),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32), obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32), obs_alive=jnp.asarray(obs_alive_mask()),
+    )
+    stats["n_registered"] = int(registered.sum())
+    stats["n_points"] = int(X_alive.sum())
+    return scene, stats

@@ -1,0 +1,146 @@
+"""Track building: fuse pairwise matches into multi-view tracks (union-find).
+
+Capability parity: OpenMVG's tracks builder (union-find over feature nodes
+with same-image-conflict filtering).  This is genuinely host-bound serial
+graph work — the one part of the pipeline that is NOT a device kernel by
+design; it runs once per map build between the (device) matching stage and
+the (device) reconstruction stage.  A C++ implementation with identical
+semantics lives in ``native/`` (used when built; this numpy path is the
+fallback and the test oracle).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class TrackTable(NamedTuple):
+    """Flat observation table, the scene's sparse structure (SURVEY C7).
+
+    Observations are sorted by track id; tracks are contiguous runs.
+    """
+
+    obs_cam: np.ndarray    # (O,) int32 camera/image id
+    obs_feat: np.ndarray   # (O,) int32 feature index within the image
+    obs_track: np.ndarray  # (O,) int32 track id, sorted ascending
+    n_tracks: int
+
+    def track_slices(self):
+        starts = np.searchsorted(self.obs_track, np.arange(self.n_tracks))
+        ends = np.searchsorted(self.obs_track, np.arange(self.n_tracks), side="right")
+        return starts, ends
+
+
+class _UnionFind:
+    __slots__ = ("parent", "rank")
+
+    def __init__(self, n: int):
+        self.parent = np.arange(n, dtype=np.int64)
+        self.rank = np.zeros(n, dtype=np.int8)
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        root = i
+        while p[root] != root:
+            root = p[root]
+        while p[i] != root:  # path compression
+            p[i], i = root, p[i]
+        return root
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+
+
+def build_tracks(
+    pair_list: np.ndarray,        # (Np,2) image id pairs
+    match_idx: np.ndarray,        # (Np,K) best-match index into image b
+    match_valid: np.ndarray,      # (Np,K) bool
+    n_images: int,
+    max_feats: int,
+    *,
+    min_length: int = 2,
+) -> TrackTable:
+    """Union-find over (image, feature) nodes; drop inconsistent tracks.
+
+    A track containing two distinct features of the same image is corrupted
+    by a wrong match and is discarded wholesale (OpenMVG-equivalent rule).
+    """
+    try:
+        from . import _native_tracks  # C++ fast path if built
+
+        return _native_tracks.build_tracks(
+            pair_list, match_idx, match_valid, n_images, max_feats, min_length
+        )
+    except ImportError:
+        pass
+
+    def node(img, feat):
+        return img * max_feats + feat
+
+    uf = _UnionFind(n_images * max_feats)
+    used = np.zeros(n_images * max_feats, dtype=bool)
+    for p in range(pair_list.shape[0]):
+        a, b = int(pair_list[p, 0]), int(pair_list[p, 1])
+        feats_a = np.where(match_valid[p])[0]
+        for fa in feats_a:
+            fb = int(match_idx[p, fa])
+            na, nb = node(a, fa), node(b, fb)
+            used[na] = used[nb] = True
+            uf.union(na, nb)
+
+    nodes = np.where(used)[0]
+    roots = np.array([uf.find(int(n)) for n in nodes], dtype=np.int64)
+    imgs = (nodes // max_feats).astype(np.int32)
+    feats = (nodes % max_feats).astype(np.int32)
+
+    # Sort by root to get contiguous runs, then detect conflicts & short tracks.
+    order = np.argsort(roots, kind="stable")
+    roots, imgs, feats = roots[order], imgs[order], feats[order]
+    uroots, starts = np.unique(roots, return_index=True)
+    ends = np.append(starts[1:], len(roots))
+
+    keep_obs = []
+    track_ids = []
+    tid = 0
+    for s, e in zip(starts, ends):
+        if e - s < min_length:
+            continue
+        track_imgs = imgs[s:e]
+        if len(np.unique(track_imgs)) != len(track_imgs):
+            continue  # same-image conflict
+        keep_obs.append((s, e))
+        track_ids.append(tid)
+        tid += 1
+
+    if not keep_obs:
+        return TrackTable(
+            np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int32), 0
+        )
+
+    obs_cam = np.concatenate([imgs[s:e] for s, e in keep_obs])
+    obs_feat = np.concatenate([feats[s:e] for s, e in keep_obs])
+    obs_track = np.concatenate(
+        [np.full(e - s, t, np.int32) for (s, e), t in zip(keep_obs, track_ids)]
+    )
+    return TrackTable(obs_cam.astype(np.int32), obs_feat.astype(np.int32), obs_track, tid)
+
+
+def covisibility_counts(tt: TrackTable, n_images: int) -> np.ndarray:
+    """(C,C) symmetric matrix of shared-track counts between image pairs."""
+    cov = np.zeros((n_images, n_images), dtype=np.int32)
+    starts, ends = tt.track_slices()
+    for s, e in zip(starts, ends):
+        cams = tt.obs_cam[s:e]
+        for i in range(len(cams)):
+            for j in range(i + 1, len(cams)):
+                cov[cams[i], cams[j]] += 1
+                cov[cams[j], cams[i]] += 1
+    return cov

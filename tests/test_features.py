@@ -1,0 +1,116 @@
+"""Feature extraction tests: detection quality + descriptor matchability
+under rotation/translation warps (kernel-level analog of AKAZE behavior)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfmx.kernels import features, matching
+
+H = W = 160
+
+
+def make_texture(rng, h=H, w=W):
+    """Smooth random texture with strong corners (sum of gaussian blobs)."""
+    img = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for _ in range(40):
+        cy, cx = rng.uniform(20, h - 20), rng.uniform(20, w - 20)
+        s = rng.uniform(2.0, 6.0)
+        a = rng.uniform(0.3, 1.0) * rng.choice([-1, 1])
+        img += a * np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * s * s))
+    img -= img.min()
+    img /= img.max()
+    return img
+
+
+def warp_affine(img, M):
+    """Inverse-warp with bilinear sampling (numpy oracle)."""
+    h, w = img.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    pts = np.stack([xs.ravel(), ys.ravel(), np.ones(h * w, np.float32)])
+    Minv = np.linalg.inv(np.vstack([M, [0, 0, 1]]))[:2]
+    src = Minv @ pts
+    sx = np.clip(src[0], 0, w - 1.001)
+    sy = np.clip(src[1], 0, h - 1.001)
+    x0, y0 = sx.astype(int), sy.astype(int)
+    fx, fy = sx - x0, sy - y0
+    out = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x0 + 1] * fx * (1 - fy)
+        + img[y0 + 1, x0] * (1 - fx) * fy
+        + img[y0 + 1, x0 + 1] * fx * fy
+    )
+    return out.reshape(h, w).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def extractor_output():
+    rng = np.random.default_rng(5)
+    img = make_texture(rng)
+    theta = np.deg2rad(25.0)
+    c, s = np.cos(theta), np.sin(theta)
+    cx, cy = W / 2, H / 2
+    M = np.array([[c, -s, cx - c * cx + s * cy + 6.0], [s, c, cy - s * cx - c * cy - 4.0]])
+    img2 = warp_affine(img, M)
+    batch = jnp.asarray(np.stack([img, img2]))
+    feats = features.detect_and_describe(batch, max_keypoints=200, threshold=1e-7)
+    return img, img2, M, feats
+
+
+def test_detects_keypoints(extractor_output):
+    _, _, _, feats = extractor_output
+    n0 = int(feats.kp.mask[0].sum())
+    n1 = int(feats.kp.mask[1].sum())
+    assert n0 > 30 and n1 > 30
+    assert not np.any(np.isnan(np.asarray(feats.kp.uv)))
+    assert not np.any(np.isnan(np.asarray(feats.desc)))
+
+
+def test_repeatability_under_warp(extractor_output):
+    img, img2, M, feats = extractor_output
+    uv0 = np.asarray(feats.kp.uv[0])[np.asarray(feats.kp.mask[0])]
+    uv1 = np.asarray(feats.kp.uv[1])[np.asarray(feats.kp.mask[1])]
+    # project kp0 into image 2
+    proj = (np.hstack([uv0, np.ones((len(uv0), 1))]) @ M.T)
+    inside = (proj[:, 0] > 12) & (proj[:, 0] < W - 12) & (proj[:, 1] > 12) & (proj[:, 1] < H - 12)
+    proj = proj[inside]
+    d = np.linalg.norm(proj[:, None, :] - uv1[None, :, :], axis=2).min(axis=1)
+    repeat = (d < 3.0).mean()
+    assert repeat > 0.5, f"repeatability {repeat}"
+
+
+def test_descriptor_matching_under_warp(extractor_output):
+    img, img2, M, feats = extractor_output
+    res = matching.match_float(
+        feats.desc[0], feats.desc[1], feats.kp.mask[0], feats.kp.mask[1], ratio=0.85
+    )
+    idx = np.asarray(res.idx)
+    valid = np.asarray(res.valid)
+    uv0 = np.asarray(feats.kp.uv[0])
+    uv1 = np.asarray(feats.kp.uv[1])
+    proj = np.hstack([uv0, np.ones((len(uv0), 1))]) @ M.T
+    err = np.linalg.norm(proj[valid] - uv1[idx[valid]], axis=1)
+    assert valid.sum() >= 15
+    assert (err < 4.0).mean() > 0.7, f"match precision {(err < 4.0).mean()}"
+
+
+def test_binary_descriptor_matches_float_semantics(extractor_output):
+    _, _, M, feats = extractor_output
+    res = matching.match_hamming(
+        feats.desc_bits[0], feats.desc_bits[1], feats.kp.mask[0], feats.kp.mask[1],
+        ratio=0.85,
+    )
+    # binary matcher should agree with the float matcher on most matches
+    res_f = matching.match_float(
+        feats.desc[0], feats.desc[1], feats.kp.mask[0], feats.kp.mask[1], ratio=0.85
+    )
+    both = np.asarray(res.valid) & np.asarray(res_f.valid)
+    if both.sum() > 5:
+        agree = (np.asarray(res.idx)[both] == np.asarray(res_f.idx)[both]).mean()
+        assert agree > 0.8
+
+
+def test_fed_schedule_covers_time():
+    taus = features.fed_tau_schedule(5.0)
+    assert abs(taus.sum() - 5.0) < 1e-5
+    assert np.all(taus > 0)

@@ -1,0 +1,128 @@
+"""End-to-end integration: synthetic features → tracks → incremental SfM →
+localization → ATE (SURVEY §4.2.2, config-1 analog)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfmx.kernels import matching
+from sfmx.localize import build_localization_map, localize_query
+from sfmx.mapstore import load_scene, save_scene
+from sfmx.recon import tracks
+from sfmx.recon.incremental import ReconConfig, reconstruct
+from sfmx.solvers import umeyama
+
+from .synthetic import make_scene
+from .test_matching_tracks import scene_features
+
+
+@pytest.fixture(scope="module")
+def pipeline_result():
+    rng = np.random.default_rng(7)
+    sc = make_scene(n_cams=8, n_points=250, noise_px=0.3, seed=3)
+    uv, desc, mask, feat_pt = scene_features(sc, rng, noise=0.05)
+    C = uv.shape[0]
+    pairs = np.array([(a, b) for a in range(C) for b in range(a + 1, C)], np.int32)
+    res = matching.match_pairs_float(jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pairs))
+    tt = tracks.build_tracks(pairs, np.asarray(res.idx), np.asarray(res.valid), C, uv.shape[1])
+    scene, stats = reconstruct(
+        uv, mask, tt, sc.intrinsics[None].astype(np.float32),
+        np.zeros(C, np.int32), ReconConfig(ba_every=3),
+    )
+    return sc, scene, stats, (uv, desc, mask, feat_pt, tt)
+
+
+def test_all_cameras_registered(pipeline_result):
+    sc, scene, stats, _ = pipeline_result
+    assert stats["n_registered"] == sc.Rs.shape[0]
+    assert stats["n_points"] > 150
+
+
+def test_trajectory_ate(pipeline_result):
+    sc, scene, stats, _ = pipeline_result
+    est = np.asarray(scene.centers)
+    ref = sc.centers.astype(np.float32)
+    alive = np.asarray(scene.cam_alive)
+    rmse, _ = umeyama.ate_rmse(jnp.asarray(est), jnp.asarray(ref), jnp.asarray(alive))
+    # Scene diameter ~12 units; sub-1% ATE expected with 0.3px noise.
+    assert float(rmse) < 0.1, f"ATE {float(rmse)} too high"
+
+
+def test_structure_accuracy(pipeline_result):
+    sc, scene, stats, extras = pipeline_result
+    (uv, desc, mask, feat_pt, tt) = extras
+    X = np.asarray(scene.X)
+    alive = np.asarray(scene.X_alive)
+    # map each track to its ground-truth landmark (tracks are consistent)
+    starts, ends = tt.track_slices()
+    gt_ids = np.array([feat_pt[tt.obs_cam[s], tt.obs_feat[s]] for s in starts])
+    # align reconstruction to world and compare triangulated points
+    est_c = np.asarray(scene.centers)
+    s, R, t = umeyama.umeyama(
+        jnp.asarray(est_c), jnp.asarray(sc.centers.astype(np.float32)),
+        jnp.asarray(np.asarray(scene.cam_alive)),
+    )
+    Xw = np.asarray(umeyama.apply_sim3(s, R, t, jnp.asarray(X)))
+    err = np.linalg.norm(Xw[alive] - sc.points[gt_ids[alive]], axis=1)
+    assert np.median(err) < 0.05
+
+
+def test_scene_roundtrip(tmp_path, pipeline_result):
+    _, scene, _, _ = pipeline_result
+    p = tmp_path / "scene.npz"
+    save_scene(p, scene, extra={"note": "test"})
+    s2 = load_scene(p)
+    np.testing.assert_array_equal(np.asarray(s2.cam_R), np.asarray(scene.cam_R))
+    np.testing.assert_array_equal(np.asarray(s2.obs_pt), np.asarray(scene.obs_pt))
+    assert (p.parent / "scene.npz.manifest.json").exists()
+
+
+def test_localize_heldout_queries(pipeline_result):
+    sc, scene, stats, extras = pipeline_result
+    (uv, desc, mask, feat_pt, tt) = extras
+    rng = np.random.default_rng(11)
+    lmap = build_localization_map(scene, desc, tt.obs_feat)
+
+    # Build query views from ground truth at perturbed poses: reuse camera 3's
+    # descriptors but pretend it's a new image (drop it is complex; instead
+    # synthesize a query from scratch at an unseen pose).
+    from .synthetic import look_at
+
+    # Query camera at a new position on the arc.
+    eye = np.array([6.0 * np.sin(0.35), 0.5 * np.sin(0.7), -6.0 * np.cos(0.35)])
+    Rq, tq = look_at(eye, np.zeros(3))
+    Xc = sc.points @ Rq.T + tq
+    z = Xc[:, 2]
+    uvq = (Xc[:, :2] / z[:, None]) * sc.intrinsics[:2] + sc.intrinsics[2:4]
+    vis = (z > 0.1) & (uvq[:, 0] >= 0) & (uvq[:, 0] < sc.width) & (uvq[:, 1] >= 0) & (uvq[:, 1] < sc.height)
+
+    # Track-id -> gt landmark mapping to fabricate query descriptors that
+    # match the map's landmark descriptors.
+    starts, _ = tt.track_slices()
+    gt_of_track = np.array([feat_pt[tt.obs_cam[s], tt.obs_feat[s]] for s in starts])
+    lm_desc = np.asarray(lmap.lm_desc)
+    K = 256
+    q_desc = np.zeros((K, lm_desc.shape[1]), np.float32)
+    q_uv = np.zeros((K, 2), np.float32)
+    q_mask = np.zeros(K, bool)
+    alive_tracks = np.where(np.asarray(scene.X_alive))[0]
+    sel = [t for t in alive_tracks if vis[gt_of_track[t]]][:K]
+    for i, t_id in enumerate(sel):
+        d = lm_desc[t_id] + 0.05 * rng.normal(size=lm_desc.shape[1])
+        q_desc[i] = d / np.linalg.norm(d)
+        q_uv[i] = uvq[gt_of_track[t_id]] + 0.3 * rng.normal(size=2)
+        q_mask[i] = True
+
+    res = localize_query(
+        lmap, jnp.asarray(q_desc), jnp.asarray(q_uv), jnp.asarray(q_mask),
+        jnp.asarray(sc.intrinsics, jnp.float32), jax.random.PRNGKey(2),
+    )
+    assert int(res.n_inliers) > 30
+    assert float(res.confidence) > 0.3
+    # Map frame == world frame up to the gauge fixed by the first camera...
+    # align via scene cameras to express the query pose in world coords.
+    s, R, t = umeyama.umeyama(
+        scene.centers, jnp.asarray(sc.centers.astype(np.float32)), scene.cam_alive
+    )
+    center_w = np.asarray(umeyama.apply_sim3(s, R, t, res.center))
+    assert np.linalg.norm(center_w - eye) < 0.1
