@@ -314,9 +314,11 @@ def _orientation(levels: jax.Array, lvl, iy, ix, sigma, grid_n: int = 13,
         span = support_sigmas * sig_k
         x = ix_k + gxx * span
         y = iy_k + gyy * span
-        step = jnp.maximum(sig_k, 1.0)
-        gx = 0.5 * (_bilinear(img, x + step, y) - _bilinear(img, x - step, y))
-        gy = 0.5 * (_bilinear(img, x, y + step) - _bilinear(img, x, y - step))
+        # Sample the window once; gradients = finite differences within it
+        # (axis-aligned window), 4x fewer gathers than per-point probing.
+        w_img = _bilinear(img, x, y)
+        gx = jnp.gradient(w_img, axis=1)
+        gy = jnp.gradient(w_img, axis=0)
         sx = jnp.sum(gx * wgt)
         sy = jnp.sum(gy * wgt)
         return jnp.arctan2(sy, sx)
@@ -377,15 +379,12 @@ def describe(levels: jax.Array, kp: Keypoints):
         R = jnp.asarray([[ca, -sa], [sa, ca]])
         pts = (grid * patch_scale) @ R.T + uv  # (P2,2) image coords
         vals = _bilinear(img, pts[:, 0], pts[:, 1]).reshape(_PATCH, _PATCH)
-        # gradients in the rotated frame
-        dx_img = 0.5 * (
-            _bilinear(img, pts[:, 0] + 1.0, pts[:, 1]) - _bilinear(img, pts[:, 0] - 1.0, pts[:, 1])
-        )
-        dy_img = 0.5 * (
-            _bilinear(img, pts[:, 0], pts[:, 1] + 1.0) - _bilinear(img, pts[:, 0], pts[:, 1] - 1.0)
-        )
-        dxr = (ca * dx_img + sa * dy_img).reshape(_PATCH, _PATCH)
-        dyr = (-sa * dx_img + ca * dy_img).reshape(_PATCH, _PATCH)
+        # Gradients in the rotated frame == finite differences along the
+        # sampled patch's own axes (the grid IS the rotated frame), so no
+        # extra bilinear passes — gathers are the TPU cost here (5x fewer).
+        # Constant scale factor is irrelevant: groups are standardized below.
+        dxr = jnp.gradient(vals, axis=1)
+        dyr = jnp.gradient(vals, axis=0)
 
         cells = []
         for gdim in _GRIDS:

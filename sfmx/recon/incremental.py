@@ -299,7 +299,13 @@ def reconstruct(
 
     # ---- incremental loop --------------------------------------------------
     n_since_ba = 0
+    points_at_failure = np.full(C, -1.0)
     while True:
+        # Failed cameras become eligible again once the map has grown 20%
+        # since their failure (a later-triangulated region may now cover them).
+        n_alive = float(X_alive.sum())
+        retry = failed & (points_at_failure > 0) & (n_alive > 1.2 * points_at_failure)
+        failed[retry] = False
         # next camera: most 2D-3D correspondences among unregistered
         counts = np.array([
             0 if (registered[c] or failed[c]) else int(X_alive[cam_tracks[c]].sum())
@@ -326,6 +332,7 @@ def reconstruct(
         )
         if int(cnt) < cfg.min_resection_inliers:
             failed[c] = True
+            points_at_failure[c] = float(X_alive.sum())
             continue
         cam_R[c] = np.asarray(R)
         cam_t[c] = np.asarray(t)
