@@ -30,6 +30,11 @@ def tpu_frames_per_s():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the axon remote-compile service takes minutes
+    # for the full pipeline; cached executables make reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from __graft_entry__ import _example_map
     from sfmx.kernels import features
     from sfmx.localize.localize import localize_query

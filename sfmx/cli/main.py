@@ -1,0 +1,185 @@
+"""sfmx CLI: build-map | localize | merge | serve | evaluate | bench (L7/C13).
+
+Capability parity: the reference's batch tool scripts + Node server entry
+(SURVEY §2.1 C13/C14).  `python -m sfmx.cli.main <cmd> ...`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def cmd_build_map(args):
+    from ..mapstore import save_scene
+    from .config import load_config
+    from .ingest import load_directory, load_video
+    from .pipeline import build_map
+
+    cfg = load_config(args.config, args.override or [])
+    if args.video:
+        ws = load_video(args.images, every_n=args.every_n, resize_to=cfg.resize_to,
+                        focal_factor=cfg.focal_factor)
+    else:
+        ws = load_directory(args.images, resize_to=cfg.resize_to,
+                            focal_factor=cfg.focal_factor)
+    scene, feats, tt, stats = build_map(ws.images, ws.intrinsics, ws.cam_k, cfg,
+                                        workdir=args.workdir)
+    extra = {"image_paths": ws.image_paths, "stats": {k: v for k, v in stats.items()
+                                                       if isinstance(v, (int, float, list))}}
+    save_scene(args.output, scene, extra=extra)
+    # persist per-feature descriptors + obs_feat for localization-map building
+    np.savez_compressed(
+        args.output + ".feats.npz",
+        desc=np.asarray(feats.desc), kp_uv=np.asarray(feats.kp.uv),
+        kp_mask=np.asarray(feats.kp.mask), obs_feat=tt.obs_feat,
+    )
+    print(json.dumps({"registered": stats["n_registered"], "points": stats["n_points"],
+                      "output": args.output}))
+
+
+def _load_lmap(map_path: str):
+    from ..localize import build_localization_map
+    from ..mapstore import load_scene
+
+    scene = load_scene(map_path)
+    z = np.load(map_path + ".feats.npz")
+    lmap = build_localization_map(scene, z["desc"], z["obs_feat"])
+    return scene, lmap
+
+
+def cmd_localize(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels import features
+    from ..localize import localize_query
+    from .config import load_config
+    from .ingest import load_directory
+
+    cfg = load_config(args.config, args.override or [])
+    scene, lmap = _load_lmap(args.map)
+    ws = load_directory(args.images, resize_to=cfg.resize_to,
+                        focal_factor=cfg.focal_factor)
+    feats = features.detect_and_describe(
+        jnp.asarray(ws.images, jnp.float32),
+        features.ScaleSpaceConfig(sigma_levels=tuple(cfg.features.sigma_levels)),
+        max_keypoints=cfg.features.max_keypoints, threshold=cfg.features.threshold,
+    )
+    results = []
+    for i in range(len(ws.images)):
+        res = localize_query(
+            lmap, feats.desc[i], feats.kp.uv[i], feats.kp.mask[i],
+            jnp.asarray(ws.intrinsics[0]), jax.random.PRNGKey(i),
+            top_k_kf=cfg.localize.top_k_kf, m_cap=cfg.localize.m_cap,
+            k_hypotheses=cfg.localize.k_hypotheses,
+            px_thresh=cfg.localize.px_thresh, sim_thresh=cfg.localize.sim_thresh,
+            min_inliers=cfg.localize.min_inliers,
+        )
+        results.append({
+            "image": ws.image_paths[i],
+            "R": np.asarray(res.R).tolist(), "t": np.asarray(res.t).tolist(),
+            "center": np.asarray(res.center).tolist(),
+            "n_inliers": int(res.n_inliers), "confidence": float(res.confidence),
+        })
+    print(json.dumps(results, indent=2))
+
+
+def cmd_merge(args):
+    from ..mapstore import load_scene, save_scene
+    from ..recon.merge import merge_scenes
+
+    scenes = []
+    for p in args.maps:
+        scene = load_scene(p)
+        z = np.load(p + ".feats.npz")
+        scenes.append((scene, z["desc"], z["kp_uv"], z["kp_mask"], z["obs_feat"]))
+    merged, stats = merge_scenes(scenes)
+    save_scene(args.output, merged, extra={"merge_stats": stats})
+    print(json.dumps({"output": args.output, **stats}))
+
+
+def cmd_serve(args):
+    from aiohttp import web
+
+    from ..serve import LocalizationService, make_app
+
+    service = LocalizationService(batch_window_ms=args.batch_window_ms,
+                                  max_batch=args.max_batch)
+    import jax.numpy as jnp
+    for spec in args.map:
+        map_id, path = spec.split("=", 1) if "=" in spec else (spec, spec)
+        scene, lmap = _load_lmap(path)
+        service.load_map(map_id, lmap, jnp.asarray(np.asarray(scene.intr)[0]))
+    app = make_app(service)
+    web.run_app(app, port=args.port)
+
+
+def cmd_evaluate(args):
+    from ..mapstore import load_scene
+    from .evaluate import evaluate_trajectory, print_report, scene_stats
+
+    scene = load_scene(args.map)
+    report = {"scene": scene_stats(scene)}
+    if args.reference:
+        ref = np.loadtxt(args.reference)  # (C,3) centers
+        report["trajectory"] = evaluate_trajectory(
+            np.asarray(scene.centers), ref, np.asarray(scene.cam_alive))
+    print_report(report)
+
+
+def cmd_bench(args):
+    import subprocess
+
+    sys.exit(subprocess.call([sys.executable, "bench.py"]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sfmx")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-map", help="reconstruct a map from images/video")
+    b.add_argument("images")
+    b.add_argument("-o", "--output", required=True)
+    b.add_argument("--video", action="store_true")
+    b.add_argument("--every-n", type=int, default=10)
+    b.add_argument("--workdir", default=None, help="stage-cache directory")
+    b.add_argument("--config", default=None)
+    b.add_argument("--override", "-D", action="append", help="key=value")
+    b.set_defaults(fn=cmd_build_map)
+
+    l = sub.add_parser("localize", help="localize query images against a map")
+    l.add_argument("map")
+    l.add_argument("images")
+    l.add_argument("--config", default=None)
+    l.add_argument("--override", "-D", action="append")
+    l.set_defaults(fn=cmd_localize)
+
+    m = sub.add_parser("merge", help="merge multiple session maps")
+    m.add_argument("maps", nargs="+")
+    m.add_argument("-o", "--output", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    s = sub.add_parser("serve", help="HTTP localization server")
+    s.add_argument("--map", action="append", required=True, help="id=path")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--batch-window-ms", type=float, default=5.0)
+    s.add_argument("--max-batch", type=int, default=32)
+    s.set_defaults(fn=cmd_serve)
+
+    e = sub.add_parser("evaluate", help="map stats + trajectory ATE")
+    e.add_argument("map")
+    e.add_argument("--reference", default=None, help="txt file of (C,3) GT centers")
+    e.set_defaults(fn=cmd_evaluate)
+
+    bn = sub.add_parser("bench", help="run the headline benchmark")
+    bn.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

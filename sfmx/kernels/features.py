@@ -225,7 +225,8 @@ def _maxpool3x3(x: jax.Array) -> jax.Array:
 
 
 def detect(levels: jax.Array, resp: jax.Array, cfg: ScaleSpaceConfig, *,
-           max_keypoints: int = 512, threshold: float = 1e-5, border: int = 10) -> Keypoints:
+           max_keypoints: int = 512, threshold: float = 1e-5, border: int = 10,
+           with_orientation: bool = True) -> Keypoints:
     B, L, H, W = resp.shape
     pooled = _maxpool3x3(resp)
     is_max = (resp >= pooled) & (resp > threshold)
@@ -288,7 +289,10 @@ def detect(levels: jax.Array, resp: jax.Array, cfg: ScaleSpaceConfig, *,
     mask = mask & ~dup
 
     sigma = jnp.asarray(cfg.sigmas)[lvl]
-    angle = _orientation(levels, lvl, iy, ix, sigma)
+    if with_orientation:
+        angle = _orientation(levels, lvl, iy, ix, sigma)
+    else:
+        angle = jnp.zeros_like(sigma)  # upright mode (gravity-aligned rigs)
     return Keypoints(uv=uv, level=lvl, sigma=sigma, angle=angle,
                      response=jnp.where(mask, vals, 0.0), mask=mask)
 
@@ -446,12 +450,32 @@ class Features(NamedTuple):
     desc_bits: jax.Array  # (B,K,N_WORDS) uint32
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_keypoints", "threshold"))
+@partial(jax.jit, static_argnames=("cfg", "max_keypoints", "threshold", "oriented"))
 def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceConfig(), *,
-                        max_keypoints: int = 512, threshold: float = 1e-5) -> Features:
-    """Full extraction: (B,H,W) f32 in [0,1] -> Features with static K capacity."""
+                        max_keypoints: int = 512, threshold: float = 1e-5,
+                        oriented: bool = False) -> Features:
+    """Full extraction: (B,H,W) f32 in [0,1] -> Features with static K capacity.
+
+    oriented=False (default): upright descriptors via the Pallas window-DMA +
+    MXU-resample kernel on TPU (pure-jnp oracle elsewhere) — the right mode
+    for gravity-aligned indoor rigs, and gather-free.
+    oriented=True: rotation-invariant gather path (dominant-orientation +
+    rotated patch sampling).
+    """
     levels = build_scale_space(images, cfg)
     resp = hessian_response(levels, cfg)
-    kp = detect(levels, resp, cfg, max_keypoints=max_keypoints, threshold=threshold)
-    desc_float, desc_bits = describe(levels, kp)
+    kp = detect(levels, resp, cfg, max_keypoints=max_keypoints,
+                threshold=threshold, with_orientation=oriented)
+    if oriented:
+        desc_float, desc_bits = describe(levels, kp)
+    else:
+        from . import pallas_describe as pd
+
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            raw = pd.describe_upright(levels, kp.uv, kp.level, kp.sigma, kp.mask)
+        else:
+            raw = pd.describe_upright_reference(levels, kp.uv, kp.level, kp.sigma, kp.mask)
+        desc_float = pd.finalize_float(raw, kp.mask)
+        desc_bits = pd.finalize_bits(raw, kp.mask)
     return Features(kp=kp, desc=desc_float, desc_bits=desc_bits)

@@ -53,7 +53,9 @@ def extractor_output():
     M = np.array([[c, -s, cx - c * cx + s * cy + 6.0], [s, c, cy - s * cx - c * cy - 4.0]])
     img2 = warp_affine(img, M)
     batch = jnp.asarray(np.stack([img, img2]))
-    feats = features.detect_and_describe(batch, max_keypoints=200, threshold=1e-7)
+    # rotation warp -> exercise the oriented (rotation-invariant) path
+    feats = features.detect_and_describe(batch, max_keypoints=200, threshold=1e-7,
+                                         oriented=True)
     return img, img2, M, feats
 
 
@@ -114,3 +116,41 @@ def test_fed_schedule_covers_time():
     taus = features.fed_tau_schedule(5.0)
     assert abs(taus.sum() - 5.0) < 1e-5
     assert np.all(taus > 0)
+
+
+def test_upright_descriptor_translation_invariance():
+    """Upright (pallas-oracle) path: descriptors survive pure translation."""
+    rng = np.random.default_rng(9)
+    img = make_texture(rng)
+    img2 = np.roll(img, (5, 9), axis=(0, 1))
+    batch = jnp.asarray(np.stack([img, img2]))
+    feats = features.detect_and_describe(batch, max_keypoints=200, threshold=1e-7)
+    res = matching.match_float(
+        feats.desc[0], feats.desc[1], feats.kp.mask[0], feats.kp.mask[1], ratio=0.85
+    )
+    idx = np.asarray(res.idx)
+    valid = np.asarray(res.valid)
+    uv0 = np.asarray(feats.kp.uv[0])
+    uv1 = np.asarray(feats.kp.uv[1])
+    # np.roll wraps content at the borders (false texture there) — score
+    # interior keypoints only.
+    interior = valid & np.all((uv0 > 25) & (uv0 < H - 25), axis=1)
+    err = np.linalg.norm(uv0[interior] + np.array([9.0, 5.0]) - uv1[idx[interior]], axis=1)
+    assert interior.sum() >= 25
+    assert (err < 2.0).mean() > 0.9
+
+
+def test_pallas_describe_parity_interpret():
+    """Pallas kernel (interpret mode) == jnp oracle."""
+    from sfmx.kernels import pallas_describe as pd
+
+    rng = np.random.default_rng(3)
+    B, L, HH, WW, K = 1, 3, 160, 160, 16
+    levels = jnp.asarray(rng.random((B, L, HH, WW)), jnp.float32)
+    uv = jnp.asarray(rng.uniform(40, 120, (B, K, 2)), jnp.float32)
+    lvl = jnp.asarray(rng.integers(0, L, (B, K)), jnp.int32)
+    sigma = jnp.asarray(rng.choice([2.0, 3.0], (B, K)), jnp.float32)
+    mask = jnp.ones((B, K), bool)
+    ref = pd.describe_upright_reference(levels, uv, lvl, sigma, mask)
+    out = pd.describe_upright(levels, uv, lvl, sigma, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)

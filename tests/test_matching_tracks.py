@@ -115,3 +115,46 @@ def test_geometric_verify_rejects_bad_matches(rng):
     good_kept = feat_pt[0][inl] == feat_pt[1][idx[0][inl]]
     assert good_kept.mean() > 0.95  # surviving matches are overwhelmingly true
     assert inl[bad].mean() < 0.1    # corrupted ones got rejected
+
+
+def test_native_tracks_parity(rng):
+    """C++ track builder == numpy oracle (canonicalized track sets)."""
+    import pytest
+
+    try:
+        from sfmx.recon import _native_tracks
+    except ImportError:
+        pytest.skip("native tracks not built")
+    sc = make_scene(n_cams=5, n_points=120)
+    uv, desc, mask, feat_pt = scene_features(sc, rng)
+    pairs = np.array([(a, b) for a in range(5) for b in range(a + 1, 5)], np.int32)
+    res = matching.match_pairs_float(jnp.asarray(desc), jnp.asarray(mask), jnp.asarray(pairs))
+    idx, valid = np.asarray(res.idx), np.asarray(res.valid)
+    K = desc.shape[1]
+
+    # force the numpy fallback for the oracle
+    import sfmx.recon.tracks as tm
+    import sys
+    native_mod = sys.modules.pop("sfmx.recon._native_tracks")
+    sys.modules["sfmx.recon._native_tracks"] = None  # make import fail
+    try:
+        tt_py = tm.build_tracks(pairs, idx, valid, 5, K)
+    finally:
+        sys.modules["sfmx.recon._native_tracks"] = native_mod
+
+    tt_c = native_mod.build_tracks(pairs, idx, valid, 5, K)
+
+    def canonical(tt):
+        starts, ends = tt.track_slices()
+        tracks = []
+        for s, e in zip(starts, ends):
+            tracks.append(tuple(sorted(zip(tt.obs_cam[s:e].tolist(),
+                                           tt.obs_feat[s:e].tolist()))))
+        return sorted(tracks)
+
+    assert tt_c.n_tracks == tt_py.n_tracks
+    assert canonical(tt_c) == canonical(tt_py)
+
+    cov_c = native_mod.covisibility_counts(tt_c, 5)
+    from sfmx.recon.tracks import covisibility_counts as cov_py
+    np.testing.assert_array_equal(cov_c, cov_py(tt_py, 5))
