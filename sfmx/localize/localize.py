@@ -32,11 +32,12 @@ class LocalizationMap(NamedTuple):
     X: jax.Array          # (P,3) landmark positions
     lm_desc: jax.Array    # (P,D) mean landmark descriptor (unit norm)
     lm_alive: jax.Array   # (P,)
-    kf_gdesc: jax.Array   # (C,D) keyframe global descriptor (unit norm)
+    kf_gdesc: jax.Array   # (C,G) keyframe global descriptor (VLAD or mean)
     kf_alive: jax.Array   # (C,)
     kf_centers: jax.Array  # (C,3) keyframe camera centers (for beacon gating)
     kf_lm: jax.Array      # (C,Kc) landmark ids observed per keyframe (-1 pad -> 0)
     kf_lm_mask: jax.Array  # (C,Kc)
+    vocab: jax.Array | None = None  # (V,D) VLAD vocabulary; None = mean pooling
 
 
 class LocalizeResult(NamedTuple):
@@ -48,12 +49,18 @@ class LocalizeResult(NamedTuple):
 
 
 def build_localization_map(scene: Scene, feat_desc: np.ndarray,
-                           obs_feat: np.ndarray, kf_lm_cap: int = 512) -> LocalizationMap:
+                           obs_feat: np.ndarray, kf_lm_cap: int = 512,
+                           kp_mask: np.ndarray | None = None,
+                           use_vlad: bool = True, n_words: int = 16,
+                           seed: int = 0) -> LocalizationMap:
     """Aggregate per-feature descriptors into the serving map (host-side, once).
 
     Args:
       feat_desc: (C,K,D) float descriptors of every keyframe feature.
       obs_feat: (O,) feature index of each scene observation (from TrackTable).
+      kp_mask: (C,K) validity of feature slots (defaults to nonzero rows).
+      use_vlad: build a visual vocabulary + VLAD keyframe descriptors (C8);
+        mean pooling otherwise.
     """
     obs_cam = np.asarray(scene.obs_cam)
     obs_pt = np.asarray(scene.obs_pt)
@@ -69,8 +76,27 @@ def build_localization_map(scene: Scene, feat_desc: np.ndarray,
     lm_desc /= np.maximum(cnt[:, None], 1.0)
     lm_desc /= np.maximum(np.linalg.norm(lm_desc, axis=1, keepdims=True), 1e-8)
 
-    kf_gdesc = feat_desc.mean(axis=1)
-    kf_gdesc /= np.maximum(np.linalg.norm(kf_gdesc, axis=1, keepdims=True), 1e-8)
+    if kp_mask is None:
+        kp_mask = np.linalg.norm(feat_desc, axis=-1) > 1e-6
+    vocab = None
+    if use_vlad:
+        from . import retrieve
+
+        valid = lm_desc[cnt > 0]
+        if len(valid) >= n_words:
+            import jax.random as jrandom
+
+            vocab = retrieve.build_vocabulary(
+                jnp.asarray(valid), jnp.ones(len(valid), bool),
+                jrandom.PRNGKey(seed), n_words=n_words,
+            )
+            kf_gdesc = np.asarray(retrieve.vlad_encode_b(
+                jnp.asarray(feat_desc), jnp.asarray(kp_mask), vocab))
+        else:
+            use_vlad = False
+    if not use_vlad:
+        kf_gdesc = feat_desc.mean(axis=1)
+        kf_gdesc /= np.maximum(np.linalg.norm(kf_gdesc, axis=1, keepdims=True), 1e-8)
 
     kf_lm = np.zeros((C, kf_lm_cap), np.int32)
     kf_lm_mask = np.zeros((C, kf_lm_cap), bool)
@@ -89,6 +115,7 @@ def build_localization_map(scene: Scene, feat_desc: np.ndarray,
         kf_centers=scene.centers,
         kf_lm=jnp.asarray(kf_lm),
         kf_lm_mask=jnp.asarray(kf_lm_mask),
+        vocab=vocab,
     )
 
 
@@ -115,9 +142,14 @@ def localize_query(
     prior_center/prior_radius: optional beacon-fused position prior — keyframes
     outside the radius are excluded from retrieval (C10 fusion hook).
     """
-    # --- retrieval (C8): global-descriptor scores, optional beacon gate ----
-    qg = jnp.sum(jnp.where(q_mask[:, None], q_desc, 0.0), axis=0)
-    qg = qg / jnp.maximum(jnp.linalg.norm(qg), 1e-8)
+    # --- retrieval (C8): VLAD (or mean) global scores, optional beacon gate
+    if lmap.vocab is not None:
+        from . import retrieve
+
+        qg = retrieve.vlad_encode(q_desc, q_mask, lmap.vocab)
+    else:
+        qg = jnp.sum(jnp.where(q_mask[:, None], q_desc, 0.0), axis=0)
+        qg = qg / jnp.maximum(jnp.linalg.norm(qg), 1e-8)
     scores = lmap.kf_gdesc @ qg  # (C,)
     gate = lmap.kf_alive
     if prior_center is not None:

@@ -1,0 +1,80 @@
+"""Image retrieval (C8): visual vocabulary + VLAD global descriptors.
+
+Capability parity: the reference restricts query matching to likely map
+keyframes with a BoW-style visual vocabulary (SURVEY C8).  TPU design: a
+small k-means vocabulary (built once per map, jitted Lloyd iterations) and
+VLAD aggregation — residuals-to-assigned-word sums via one-hot GEMM — give a
+(V*D) global descriptor whose scoring against all keyframes is a single MXU
+GEMM.  Much sharper than mean-pooling local descriptors (tested) while
+keeping retrieval one matmul.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("n_words", "iters"))
+def build_vocabulary(desc: jax.Array, mask: jax.Array, key: jax.Array, *,
+                     n_words: int = 16, iters: int = 15) -> jax.Array:
+    """k-means over unit descriptors (cosine Lloyd's). desc (N,D), mask (N,).
+
+    Returns (n_words, D) unit-norm centroids.
+    """
+    N, D = desc.shape
+    # farthest-point (k-means++-style) seeding: random first word, then
+    # repeatedly take the valid point least similar to any chosen word —
+    # random seeding routinely drops a cluster and splits another.
+    first = jax.random.choice(key, N, p=mask.astype(jnp.float32) / jnp.maximum(mask.sum(), 1))
+    C0 = jnp.zeros((n_words, D), desc.dtype).at[0].set(desc[first])
+
+    def seed_step(i, C):
+        sim = desc @ C.T                               # (N,V)
+        active = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) < i
+        best = jnp.max(jnp.where(active, sim, -jnp.inf), axis=1)
+        cand = jnp.argmin(jnp.where(mask, best, jnp.inf))
+        return C.at[i].set(desc[cand])
+
+    C = jax.lax.fori_loop(1, n_words, seed_step, C0)
+
+    def step(C, _):
+        sim = desc @ C.T                               # (N,V)
+        a = jnp.argmax(sim, axis=1)
+        onehot = jax.nn.one_hot(a, n_words, dtype=desc.dtype) * mask[:, None]
+        sums = onehot.T @ desc                          # (V,D)
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        C2 = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), C)
+        C2 = C2 / jnp.maximum(jnp.linalg.norm(C2, axis=1, keepdims=True), 1e-8)
+        return C2, None
+
+    C, _ = jax.lax.scan(step, C, None, length=iters)
+    return C
+
+
+def vlad_encode(desc: jax.Array, mask: jax.Array, vocab: jax.Array) -> jax.Array:
+    """VLAD: per-word sum of residuals, intra-normalized. -> (V*D,) unit vec.
+
+    Batched over leading dims via vmap at call sites.
+    """
+    V, D = vocab.shape
+    sim = desc @ vocab.T                               # (K,V)
+    a = jnp.argmax(sim, axis=1)
+    onehot = jax.nn.one_hot(a, V, dtype=desc.dtype) * mask[:, None]
+    sums = onehot.T @ desc                             # (V,D) residual part 1
+    counts = jnp.sum(onehot, axis=0)[:, None]
+    resid = sums - counts * vocab                      # sum(d - c_word)
+    # intra-normalization (power-law burstiness suppression)
+    resid = resid / jnp.maximum(jnp.linalg.norm(resid, axis=1, keepdims=True), 1e-8)
+    v = resid.reshape(V * D)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-8)
+
+
+vlad_encode_b = jax.vmap(vlad_encode, in_axes=(0, 0, None))
+
+
+def retrieval_scores(kf_vlad: jax.Array, q_vlad: jax.Array) -> jax.Array:
+    """(C,VD) x (VD,) -> (C,) cosine scores (one GEMV/MXU pass)."""
+    return kf_vlad @ q_vlad
