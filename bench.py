@@ -105,7 +105,13 @@ def cpu_baseline_frames_per_s():
 
 
 def main():
-    value, compile_s = tpu_frames_per_s()
+    # one retry: the remote-compile service is occasionally flaky
+    try:
+        value, compile_s = tpu_frames_per_s()
+    except Exception as e:
+        print(f"# first attempt failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        value, compile_s = tpu_frames_per_s()
     base = cpu_baseline_frames_per_s()
     vs = value / base if base else None
     print(json.dumps({

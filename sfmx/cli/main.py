@@ -117,6 +117,39 @@ def cmd_serve(args):
     web.run_app(app, port=args.port)
 
 
+def cmd_georeference(args):
+    """Align a map to world coordinates via control points (C11).
+
+    Control file: JSON [[cam_index, wx, wy, wz], ...] — known world positions
+    of selected cameras (the reference's floor-plan control points).
+    """
+    import dataclasses
+    import jax.numpy as jnp
+
+    from ..mapstore import load_scene, save_scene
+    from ..solvers import umeyama
+
+    scene = load_scene(args.map)
+    ctrl = np.asarray(json.loads(open(args.control).read()), np.float64)
+    idx = ctrl[:, 0].astype(int)
+    world = jnp.asarray(ctrl[:, 1:4], jnp.float32)
+    est = scene.centers[idx]
+    s_, R_, t_ = umeyama.umeyama(est, world)
+    # apply similarity to the whole scene (same transform as merge)
+    from ..recon.merge import transform_scene_inplace
+
+    R2, t2, X2 = transform_scene_inplace(
+        np.array(scene.cam_R), np.array(scene.cam_t), np.array(scene.X),
+        float(s_), np.asarray(R_), np.asarray(t_))
+    scene = dataclasses.replace(
+        scene, cam_R=jnp.asarray(R2), cam_t=jnp.asarray(t2), X=jnp.asarray(X2))
+    out = args.output or args.map
+    save_scene(out, scene, extra={"georeferenced": True, "scale": float(s_)})
+    resid = np.linalg.norm(np.asarray(scene.centers)[idx] - np.asarray(world), axis=1)
+    print(json.dumps({"output": out, "scale": float(s_),
+                      "control_rmse": float(np.sqrt((resid ** 2).mean()))}))
+
+
 def cmd_evaluate(args):
     from ..mapstore import load_scene
     from .evaluate import evaluate_trajectory, print_report, scene_stats
@@ -168,6 +201,12 @@ def main(argv=None):
     s.add_argument("--batch-window-ms", type=float, default=5.0)
     s.add_argument("--max-batch", type=int, default=32)
     s.set_defaults(fn=cmd_serve)
+
+    g = sub.add_parser("georeference", help="align map to world control points")
+    g.add_argument("map")
+    g.add_argument("control", help="JSON [[cam_idx,wx,wy,wz],...]")
+    g.add_argument("-o", "--output", default=None)
+    g.set_defaults(fn=cmd_georeference)
 
     e = sub.add_parser("evaluate", help="map stats + trajectory ATE")
     e.add_argument("map")

@@ -16,8 +16,12 @@ import time
 
 class StageLogger:
     def __init__(self, stream=None, run_id: str | None = None):
-        self.stream = stream or sys.stderr
+        self._stream = stream  # None = resolve sys.stderr at log time
         self.run_id = run_id or f"run{int(time.time())}"
+
+    @property
+    def stream(self):
+        return self._stream if self._stream is not None else sys.stderr
 
     def log(self, stage: str, **metrics):
         rec = {"ts": round(time.time(), 3), "run": self.run_id, "stage": stage}
