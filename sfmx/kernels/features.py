@@ -164,23 +164,44 @@ class ScaleSpaceConfig(NamedTuple):
 
 
 def build_scale_space(images: jax.Array, cfg: ScaleSpaceConfig):
-    """(B,H,W) -> levels (B,L,H,W) of nonlinearly diffused images."""
+    """(B,H,W) -> levels (B,L,H,W) of nonlinearly diffused images.
+
+    ONE `lax.scan` over the concatenated FED schedule; each step body also
+    (conditionally) snapshots the current image into its level slot.  The
+    earlier per-level multi-scan variant compiled the conv graph once per
+    level and took ~25 MINUTES of XLA compile for VGA inputs; this form
+    traces one step body and compiles in seconds at identical steady-state
+    throughput.
+    """
     L0 = gaussian_blur(images, float(cfg.sigmas[0]))
     k2 = contrast_k2(L0)
     sigmas = cfg.sigmas
     times = 0.5 * sigmas**2
-    levels = [L0]
-    L = L0
+
+    # host-side static schedule: per-step tau + the level slot each step closes
+    taus_all, snap_level = [], []
     for i in range(1, cfg.n_levels):
         taus = fed_tau_schedule(float(times[i] - times[i - 1]))
-        taus_arr = jnp.asarray(taus)
+        taus_all.extend(taus.tolist())
+        snap_level.extend([-1] * (len(taus) - 1) + [i])
+    taus_arr = jnp.asarray(np.asarray(taus_all, np.float32))
+    snap_arr = jnp.asarray(np.asarray(snap_level, np.int32))
 
-        def step(Lc, tau):
-            return _diffusion_step(Lc, k2, tau), None
+    B, H, W = images.shape
+    buf0 = jnp.zeros((cfg.n_levels, B, H, W), images.dtype).at[0].set(L0)
 
-        L, _ = jax.lax.scan(step, L, taus_arr)
-        levels.append(L)
-    return jnp.stack(levels, axis=1)  # (B,L,H,W)
+    def step(carry, inp):
+        L, buf = carry
+        tau, snap = inp
+        L = _diffusion_step(L, k2, tau)
+        # snap == -1 writes to slot -1 == last slot WITH the wrong value only
+        # transiently; guard with where on the gathered row instead
+        row = jnp.where(snap >= 0, L, buf[snap])
+        buf = buf.at[snap].set(row)
+        return (L, buf), None
+
+    (_, buf), _ = jax.lax.scan(step, (L0, buf0), (taus_arr, snap_arr))
+    return jnp.moveaxis(buf, 0, 1)  # (B,L,H,W)
 
 
 # ---------------------------------------------------------------------------
