@@ -76,6 +76,33 @@ def scharr(x: jax.Array, dilation: int = 1):
     return _conv2d(x, _SCHARR_X, dilation), _conv2d(x, _SCHARR_Y, dilation)
 
 
+def _sh(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Periodic shift on the last two axes (any rank; wrap semantics)."""
+    if dy:
+        x = jnp.roll(x, -dy, axis=-2)
+    if dx:
+        x = jnp.roll(x, -dx, axis=-1)
+    return x
+
+
+def scharr_roll(x: jax.Array, dilation: int = 1):
+    """Roll-based Scharr derivatives (periodic boundary).
+
+    Same 3x3/32 stencil as `scharr` but with WRAP instead of zero padding —
+    the semantics the fused Pallas diffusion/response kernel implements
+    (wrap contamination touches only a <=dilation border, inside `detect`'s
+    border mask).  Works for any rank >= 2.
+    """
+    d = dilation
+    E, W_ = _sh(x, 0, d), _sh(x, 0, -d)
+    N, S = _sh(x, -d, 0), _sh(x, d, 0)
+    NE, NW = _sh(x, -d, d), _sh(x, -d, -d)
+    SE, SW = _sh(x, d, d), _sh(x, d, -d)
+    gx = (3.0 * (NE + SE - NW - SW) + 10.0 * (E - W_)) / 32.0
+    gy = (3.0 * (SE + SW - NE - NW) + 10.0 * (S - N)) / 32.0
+    return gx, gy
+
+
 # ---------------------------------------------------------------------------
 # FED (fast explicit diffusion) schedule — host-side, static
 # ---------------------------------------------------------------------------
@@ -106,9 +133,10 @@ def _diffusion_step(L: jax.Array, k2: jax.Array, tau: jax.Array) -> jax.Array:
     """One explicit diffusion step with conductivity from current gradients.
 
     Uses the standard half-point-conductivity discretization on the 4-neighbor
-    stencil (same scheme family as the reference's FED solver).
+    stencil (same scheme family as the reference's FED solver).  Periodic
+    (roll) boundaries to match the fused Pallas kernel exactly.
     """
-    Lx, Ly = scharr(L)
+    Lx, Ly = scharr_roll(L)
     g = _pm_g2(Lx * Lx + Ly * Ly, k2)
 
     gN = jnp.roll(g, 1, axis=1)
@@ -131,7 +159,7 @@ def _diffusion_step(L: jax.Array, k2: jax.Array, tau: jax.Array) -> jax.Array:
 
 def contrast_k2(L: jax.Array, percentile: float = 70.0) -> jax.Array:
     """Per-image contrast parameter^2 from the gradient-magnitude percentile."""
-    Lx, Ly = scharr(L)
+    Lx, Ly = scharr_roll(L)
     mag = jnp.sqrt(Lx * Lx + Ly * Ly)
     k = jnp.percentile(mag.reshape(mag.shape[0], -1), percentile, axis=1)
     k = jnp.maximum(k, 1e-3)
@@ -230,9 +258,9 @@ def hessian_response(levels: jax.Array, cfg: ScaleSpaceConfig) -> jax.Array:
     for i in range(L):
         d = int(cfg.sigma_levels[i])
         Li = levels[:, i]
-        Lx, Ly = scharr(Li, dilation=d)
-        Lxx, Lxy = scharr(Lx, dilation=d)
-        _, Lyy = scharr(Ly, dilation=d)
+        Lx, Ly = scharr_roll(Li, dilation=d)
+        Lxx, Lxy = scharr_roll(Lx, dilation=d)
+        _, Lyy = scharr_roll(Ly, dilation=d)
         # aperture d == sigma: response is scale-normalized as-is
         out.append(Lxx * Lyy - Lxy * Lxy)
     return jnp.stack(out, axis=1)
@@ -483,8 +511,13 @@ def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceCon
     oriented=True: rotation-invariant gather path (dominant-orientation +
     rotated patch sampling).
     """
-    levels = build_scale_space(images, cfg)
-    resp = hessian_response(levels, cfg)
+    if jax.default_backend() == "tpu":
+        from . import pallas_scale_space as pss
+
+        levels, resp = pss.build_scale_space_and_response(images, cfg)
+    else:
+        levels = build_scale_space(images, cfg)
+        resp = hessian_response(levels, cfg)
     kp = detect(levels, resp, cfg, max_keypoints=max_keypoints,
                 threshold=threshold, with_orientation=oriented)
     if oriented:

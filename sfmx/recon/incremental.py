@@ -45,6 +45,7 @@ class ReconConfig:
     cg_iters: int = 30
     huber_px: float = 4.0
     min_track_views: int = 2
+    batch_resection: bool = True   # resect ALL eligible cams per round (scalable)
     seed: int = 0
 
 
@@ -76,7 +77,16 @@ def _init_pair_step(key, xn_a, xn_b, valid, thresh, k_hyp: int):
 
 
 @partial(jax.jit, static_argnames=("k_hyp",))
-def _resect_step(key, xn, X, valid, thresh_n, k_hyp: int):
+def _resect_batch(keys, xn_b, X_b, valid_b, thresh_n, k_hyp: int):
+    """vmapped resection: all eligible cameras in one device call."""
+
+    def one(key, xn, X, valid):
+        return _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp)
+
+    return jax.vmap(one)(keys, xn_b, X_b, valid_b)
+
+
+def _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp: int):
     """PnP-RANSAC + GN refine for one camera against its 2D-3D set."""
 
     def residual_fn(model, xn_d, X_d):
@@ -92,6 +102,9 @@ def _resect_step(key, xn, X, valid, thresh_n, k_hyp: int):
     r = residual_fn((R, t), xn, X)
     inliers = (r < thresh_n) & valid
     return R, t, inliers, jnp.sum(inliers.astype(jnp.int32))
+
+
+_resect_step = jax.jit(_resect_step_impl, static_argnames=("k_hyp",))
 
 
 @jax.jit
@@ -298,56 +311,75 @@ def reconstruct(
     run_ba(cfg.ba_iters)
 
     # ---- incremental loop --------------------------------------------------
+    # Round-based: every round resects either the single best camera (the
+    # classical sequential engine) or ALL eligible cameras at once in one
+    # vmapped device call (batch_resection — the scalable default; OpenMVG
+    # registers one view per loop, which serializes thousands of device
+    # round-trips at config-4/5 scale).
     n_since_ba = 0
     points_at_failure = np.full(C, -1.0)
     while True:
+        n_alive = float(X_alive.sum())
         # Failed cameras become eligible again once the map has grown 20%
         # since their failure (a later-triangulated region may now cover them).
-        n_alive = float(X_alive.sum())
         retry = failed & (points_at_failure > 0) & (n_alive > 1.2 * points_at_failure)
         failed[retry] = False
-        # next camera: most 2D-3D correspondences among unregistered
         counts = np.array([
             0 if (registered[c] or failed[c]) else int(X_alive[cam_tracks[c]].sum())
             for c in range(C)
         ])
-        c = int(np.argmax(counts))
-        if counts[c] < cfg.min_resection_inliers:
+        eligible = np.where(counts >= cfg.min_resection_inliers)[0]
+        if len(eligible) == 0:
             break
+        if cfg.batch_resection:
+            # take only well-supported cameras each round: weakly-covered
+            # views wait for BA-consolidated structure (keeps batch mode at
+            # sequential-mode accuracy)
+            gate = max(cfg.min_resection_inliers, 0.5 * counts.max())
+            eligible = eligible[counts[eligible] >= gate]
+        else:
+            eligible = eligible[np.argsort(counts[eligible])[::-1][:1]]
 
-        sel = X_alive[cam_tracks[c]]
-        xs = np.zeros((K, 2), np.float32)
-        Xs = np.zeros((K, 3), np.float32)
-        valid = np.zeros(K, bool)
-        n = min(int(sel.sum()), K)
-        feats_sel = cam_feats[c][sel][:n]
-        tracks_sel = cam_tracks[c][sel][:n]
-        xs[:n] = xn_feat_np[c, feats_sel]
-        Xs[:n] = X[tracks_sel]
-        valid[:n] = True
+        nb = len(eligible)
+        xs = np.zeros((nb, K, 2), np.float32)
+        Xs = np.zeros((nb, K, 3), np.float32)
+        valid = np.zeros((nb, K), bool)
+        sels = []
+        for bi, c in enumerate(eligible):
+            sel = X_alive[cam_tracks[c]]
+            n = min(int(sel.sum()), K)
+            feats_sel = cam_feats[c][sel][:n]
+            tracks_sel = cam_tracks[c][sel][:n]
+            xs[bi, :n] = xn_feat_np[c, feats_sel]
+            Xs[bi, :n] = X[tracks_sel]
+            valid[bi, :n] = True
+            sels.append(tracks_sel)
         key, sk = jax.random.split(key)
-        R, t, inl, cnt = _resect_step(
-            sk, jnp.asarray(xs), jnp.asarray(Xs), jnp.asarray(valid),
+        keys = jax.random.split(sk, nb)
+        Rb, tb, inlb, cntb = _resect_batch(
+            keys, jnp.asarray(xs), jnp.asarray(Xs), jnp.asarray(valid),
             thresh_n, cfg.ransac_hypotheses,
         )
-        if int(cnt) < cfg.min_resection_inliers:
-            failed[c] = True
-            points_at_failure[c] = float(X_alive.sum())
-            continue
-        cam_R[c] = np.asarray(R)
-        cam_t[c] = np.asarray(t)
-        registered[c] = True
-        stats["ransac_inliers"].append(int(cnt))
-        # prune this camera's outlier 2D-3D observations
-        inl_np = np.asarray(inl)[:n]
-        bad_tracks = tracks_sel[~inl_np]
-        if len(bad_tracks):
-            bad = (obs_cam == c) & np.isin(obs_pt, bad_tracks)
-            obs_pruned[bad] = True
+        Rb, tb = np.asarray(Rb), np.asarray(tb)
+        inlb, cntb = np.asarray(inlb), np.asarray(cntb)
+        for bi, c in enumerate(eligible):
+            if int(cntb[bi]) < cfg.min_resection_inliers:
+                failed[c] = True
+                points_at_failure[c] = n_alive
+                continue
+            cam_R[c] = Rb[bi]
+            cam_t[c] = tb[bi]
+            registered[c] = True
+            stats["ransac_inliers"].append(int(cntb[bi]))
+            tracks_sel = sels[bi]
+            bad_tracks = tracks_sel[~inlb[bi][: len(tracks_sel)]]
+            if len(bad_tracks):
+                bad = (obs_cam == c) & np.isin(obs_pt, bad_tracks)
+                obs_pruned[bad] = True
 
         run_triangulation()
         n_since_ba += 1
-        if n_since_ba >= cfg.ba_every:
+        if n_since_ba >= cfg.ba_every or cfg.batch_resection:
             run_ba(cfg.ba_iters)
             n_since_ba = 0
         if callbacks:

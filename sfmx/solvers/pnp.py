@@ -47,8 +47,11 @@ def dlt_pnp(xn: jax.Array, X: jax.Array, mask: jax.Array):
     r1 = jnp.concatenate([zeros, Xh, -y[:, None] * Xh], axis=1)
     A = jnp.concatenate([r0 * w[:, None], r1 * w[:, None]], axis=0)  # (2N,12)
     AtA = A.T @ A
-    _, V = jnp.linalg.eigh(AtA)
-    p = V[:, 0]
+    # inverse iteration beats a full 12x12 eigh by ~an order of magnitude in
+    # the vmapped RANSAC hot path (thousands of independent solves)
+    from .linalg import smallest_eigvec_spd
+
+    p = smallest_eigvec_spd(AtA)
     P = p.reshape(3, 4)
     M = P[:, :3]
     # Recover scale/sign: s.t. M/s is a rotation and depths are positive.

@@ -9,7 +9,7 @@ from PIL import Image
 from sfmx.cli.main import main
 
 sys.path.insert(0, "/root/repo")  # examples package
-from examples.room import RoomTexture, render_room, walk_poses  # noqa: E402
+from examples.room import RoomTexture, look_at, render_room, walk_poses  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +21,14 @@ def image_dirs(tmp_path_factory):
     for i, (R, t, eye) in enumerate(poses[:8]):
         img = render_room(tex, R, eye, 320, 240, 280.0)
         Image.fromarray((img * 255).astype(np.uint8)).save(d_map / f"f{i:03d}.png")
-    for i, (R, t, eye) in enumerate(poses[8:]):
+    # queries: interior poses with small offsets (a tail pose past the map's
+    # coverage is unlocalizable by construction)
+    for i, si in enumerate((0.35, 0.6)):
+        eye = np.array([-3.0 + 6.0 * si + 0.1, 0.2 * np.sin(6 * si) + 0.05,
+                        -3.0 + 2.0 * si])
+        yaw = np.deg2rad(25.0 + 20.0 * si + 3.0)
+        d = np.array([np.sin(yaw), 0.12 * np.sin(4 * si), np.cos(yaw)])
+        R, t = look_at(eye, eye + 5.0 * d)
         img = render_room(tex, R, eye, 320, 240, 280.0)
         Image.fromarray((img * 255).astype(np.uint8)).save(d_q / f"q{i:03d}.png")
     return d_map, d_q

@@ -154,3 +154,18 @@ def test_pallas_describe_parity_interpret():
     ref = pd.describe_upright_reference(levels, uv, lvl, sigma, mask)
     out = pd.describe_upright(levels, uv, lvl, sigma, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pallas_scale_space_parity_interpret():
+    """Fused diffusion/response kernels (interpret) == jnp oracles."""
+    from sfmx.kernels import pallas_scale_space as pss
+
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.random((2, 96, 128)), jnp.float32)
+    cfg = features.ScaleSpaceConfig(sigma_levels=(2, 3, 4))
+    lv_ref = features.build_scale_space(imgs, cfg)
+    resp_ref = features.hessian_response(lv_ref, cfg)
+    lv, resp = pss.build_scale_space_and_response(imgs, cfg, interpret=True)
+    # atol 1e-5: sequential-accumulation Scharr reassociates f32 sums
+    np.testing.assert_allclose(np.asarray(lv), np.asarray(lv_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(resp), np.asarray(resp_ref), atol=1e-5)
