@@ -1,0 +1,189 @@
+"""Evaluation-config harnesses (BASELINE.md configs 1-5).
+
+Usage: python bench/run_configs.py --config N [--platform cpu]
+
+Each config prints one JSON line of metrics.  Scales are chosen so every
+config runs in minutes; the geometry/comms patterns match the BASELINE
+descriptions (real datasets are unavailable in this environment — rendered
+room walkthroughs and synthetic corridor maps stand in; see SURVEY §6).
+
+  1  small indoor set: build map from 12 rendered frames + localize queries (ATE)
+  2  longer sequence: 32-frame walkthrough, per-frame PnP localization
+  3  global BA at 512 cameras / 20k points / 200k observations (LM iters/s)
+  4  partitioned map: 2048-camera corridor, block partition + obs-sharded
+     distributed BA on an 8-device mesh (halo fraction, LM iters/s)
+  5  multi-session merge: 3 overlapping sessions -> joint BA (ATE)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+p = argparse.ArgumentParser()
+p.add_argument("--config", type=int, required=True)
+p.add_argument("--platform", default=None)
+args = p.parse_args()
+
+import jax
+
+if args.platform:
+    jax.config.update("jax_platforms", args.platform)
+
+import jax.numpy as jnp
+
+
+def config1():
+    from examples.demo_pipeline import main as demo_main
+
+    t0 = time.time()
+    rc = demo_main()
+    return {"config": 1, "pass": rc == 0, "wall_s": round(time.time() - t0, 1)}
+
+
+def config2():
+    from examples.room import RoomTexture, render_room, walk_poses
+    from sfmx.cli.config import PipelineConfig, FeatureConfig
+    from sfmx.cli.pipeline import build_map
+    from sfmx.localize import build_localization_map, localize_query
+    from sfmx.solvers import umeyama
+
+    tex = RoomTexture(seed=7)
+    C = 32
+    poses = walk_poses(C)
+    imgs = np.stack([render_room(tex, R, eye, 320, 240, 280.0)
+                     for (R, t, eye) in poses])
+    intr = np.array([[280.0, 280.0, 160.0, 120.0, 0, 0, 0]], np.float32)
+    cfg = PipelineConfig(features=FeatureConfig(max_keypoints=512))
+    t0 = time.time()
+    scene, feats, tt, stats = build_map(imgs, intr, np.zeros(C, np.int32), cfg)
+    build_s = time.time() - t0
+    ref = np.stack([eye for (_, _, eye) in poses])
+    rmse, _ = umeyama.ate_rmse(scene.centers, jnp.asarray(ref, jnp.float32),
+                               scene.cam_alive)
+    # per-frame localization of every frame against the map (self-consistency)
+    lmap = build_localization_map(scene, np.asarray(feats.desc), tt.obs_feat,
+                                  kp_mask=np.asarray(feats.kp.mask))
+    t0 = time.time()
+    inl = []
+    for i in range(C):
+        r = localize_query(lmap, feats.desc[i], feats.kp.uv[i], feats.kp.mask[i],
+                           jnp.asarray(intr[0]), jax.random.PRNGKey(i))
+        inl.append(int(r.n_inliers))
+    loc_s = time.time() - t0
+    return {"config": 2, "n_registered": stats["n_registered"], "n_frames": C,
+            "ate_m": round(float(rmse), 4), "build_s": round(build_s, 1),
+            "localize_fps": round(C / loc_s, 2),
+            "median_inliers": int(np.median(inl))}
+
+
+def _synthetic_ba(C, P, O, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-5, 5, (C, 2)), np.full((C, 1), 20.0)], 1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_id = rng.integers(0, C, O).astype(np.int32)
+    pt_id = rng.integers(0, P, O).astype(np.int32)
+    Xc = X[pt_id] + t[cam_id]
+    uv = (Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+    uv = (uv + 0.5 * rng.standard_normal((O, 2))).astype(np.float32)
+    intr = np.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], np.float32)
+    return intr, R, t, X, cam_id, pt_id, uv
+
+
+def config3():
+    from sfmx.solvers import lm
+
+    C, P, O = 512, 20000, 200000
+    intr, R, t, X, cam_id, pt_id, uv = _synthetic_ba(C, P, O)
+    w = jnp.ones(O, jnp.float32)
+    fixed = jnp.zeros(C, bool).at[0].set(True)
+    iters = 20
+    argsba = (jnp.asarray(intr), jnp.zeros(C, jnp.int32), jnp.asarray(R),
+              jnp.asarray(t), jnp.asarray(X), jnp.asarray(cam_id),
+              jnp.asarray(pt_id), jnp.asarray(uv), w, fixed)
+    out = lm.ba_solve(*argsba, iters=iters, cg_iters=30)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = lm.ba_solve(*argsba, iters=iters, cg_iters=30)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return {"config": 3, "cams": C, "points": P, "obs": O,
+            "lm_iters_per_s": round(iters / dt, 2),
+            "final_cost": float(out[3][-1])}
+
+
+def config4():
+    from sfmx.dist import dist_ba, mesh as meshlib
+    from sfmx.mapstore.partition import partition_trajectory, reorder_obs_by_block
+
+    n_dev = len(jax.devices())
+    C, P = 2048, 60000
+    O = (400000 // C) * C
+    rng = np.random.default_rng(1)
+    # corridor covisibility: camera c sees a window of points
+    cam_id = np.repeat(np.arange(C, dtype=np.int32), O // C)
+    lo = (cam_id.astype(np.int64) * (P - 80) // C).astype(np.int32)
+    pt_id = (lo + rng.integers(0, 80, O)).astype(np.int32)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-5, 5, (C, 2)), np.full((C, 1), 20.0)], 1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    Xc = X[pt_id] + t[cam_id]
+    uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+          + 0.5 * rng.standard_normal((O, 2))).astype(np.float32)
+    w = np.ones(O, np.float32)
+
+    part = partition_trajectory(cam_id, pt_id, w > 0, C, P, n_dev)
+    order, cam_id, pt_id, uv, w = reorder_obs_by_block(part, cam_id, pt_id, uv, w)
+    cam_id = meshlib.pad_to_multiple(cam_id, n_dev)
+    pt_id = meshlib.pad_to_multiple(pt_id, n_dev)
+    uv = meshlib.pad_to_multiple(uv, n_dev)
+    w = meshlib.pad_to_multiple(w, n_dev)
+
+    mesh = meshlib.make_mesh("obs")
+    step = dist_ba.make_ba_step(mesh, iters=8, cg_iters=25)
+    intr = jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], jnp.float32)
+    fixed = jnp.zeros(C, bool).at[0].set(True)
+    argsba = (intr, jnp.zeros(C, jnp.int32), jnp.asarray(R), jnp.asarray(t),
+              jnp.asarray(X), jnp.asarray(cam_id), jnp.asarray(pt_id),
+              jnp.asarray(uv), jnp.asarray(w), fixed)
+    out = step(*argsba)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = step(*argsba)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return {"config": 4, "cams": C, "obs": O, "devices": n_dev,
+            "halo_fraction": round(part.halo_fraction(), 4),
+            "lm_iters_per_s": round(8 / dt, 2),
+            "final_cost": float(out[3][-1])}
+
+
+def config5():
+    # reuse the merge test harness at 3 sessions
+    import tests.test_merge as tmm
+    from sfmx.recon.merge import merge_scenes
+    from sfmx.solvers import umeyama
+    from tests.synthetic import make_scene
+
+    sc = make_scene(n_cams=18, n_points=400, noise_px=0.3, seed=5, arc_deg=200.0)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    sessions = [tmm._session(sc, (0, 8), rng), tmm._session(sc, (6, 14), rng),
+                tmm._session(sc, (12, 18), rng)]
+    merged, stats = merge_scenes(sessions)
+    wall = time.time() - t0
+    gt = np.concatenate([sc.centers[0:8], sc.centers[6:14], sc.centers[12:18]])
+    rmse, _ = umeyama.ate_rmse(merged.centers, jnp.asarray(gt, jnp.float32),
+                               merged.cam_alive)
+    return {"config": 5, "sessions": 3, "cams": stats["n_cameras"],
+            "ate_m": round(float(rmse), 4), "wall_s": round(wall, 1)}
+
+
+out = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}[args.config]()
+print(json.dumps(out))

@@ -68,8 +68,16 @@ def _coerce(cur, value: str):
         return int(value)
     if isinstance(cur, float):
         return float(value)
-    if isinstance(cur, tuple) or cur is None and "," in value:
-        return tuple(int(v) if v.strip().isdigit() else float(v) for v in value.split(","))
+    if isinstance(cur, tuple) or (cur is None and "," in value):
+        def conv(v):
+            v = v.strip()
+            if v.isdigit():
+                return int(v)
+            try:
+                return float(v)
+            except ValueError:
+                return v  # e.g. intrinsics param names ("f", "k1")
+        return tuple(conv(v) for v in value.split(","))
     return value
 
 

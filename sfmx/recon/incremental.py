@@ -46,6 +46,7 @@ class ReconConfig:
     huber_px: float = 4.0
     min_track_views: int = 2
     batch_resection: bool = True   # resect ALL eligible cams per round (scalable)
+    refine_intrinsics: tuple | None = None  # e.g. ("f","k1"): joint final BA
     seed: int = 0
 
 
@@ -180,7 +181,12 @@ def reconstruct(
     V = cfg.max_track_views
     key = jax.random.PRNGKey(cfg.seed)
     f_mean = float(np.mean(intr[:, :2]))
-    thresh_n = (cfg.px_thresh / f_mean) ** 2
+    # Self-calibrating builds start from a guessed focal: correct geometry
+    # then reprojects with errors ~ focal-error * radial-distance (tens of
+    # px at the image edge), so the inlier gates must be proportionally lax
+    # until the final joint intrinsics BA tightens the model.
+    gate_scale = 4.0 if cfg.refine_intrinsics else 1.0
+    thresh_n = (gate_scale * cfg.px_thresh / f_mean) ** 2
 
     # Normalized coords for every feature (device, batched).
     intr_j = jnp.asarray(intr, jnp.float32)
@@ -235,35 +241,6 @@ def reconstruct(
     pair_order = np.dstack(np.unravel_index(np.argsort(cov, axis=None)[::-1], cov.shape))[0]
     pair_order = [(a, b) for a, b in pair_order if a < b][:10]
 
-    init_done = False
-    stats = {"ransac_inliers": [], "ba_costs": []}
-    for (a, b) in pair_order:
-        if cov[a, b] < cfg.min_init_inliers:
-            break
-        # correspondences: tracks observed by both
-        shared, ia, ib = np.intersect1d(cam_tracks[a], cam_tracks[b], return_indices=True)
-        xa = np.zeros((K, 2), np.float32)
-        xb = np.zeros((K, 2), np.float32)
-        valid = np.zeros(K, bool)
-        n = min(len(shared), K)
-        xa[:n] = xn_feat_np[a, cam_feats[a][ia[:n]]]
-        xb[:n] = xn_feat_np[b, cam_feats[b][ib[:n]]]
-        valid[:n] = True
-        key, sk = jax.random.split(key)
-        R, t, inl, cnt, par = _init_pair_step(
-            sk, jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(valid),
-            thresh_n, cfg.ransac_hypotheses,
-        )
-        if int(cnt) >= cfg.min_init_inliers and float(par) > cfg.min_parallax_deg:
-            cam_R[a], cam_t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
-            cam_R[b], cam_t[b] = np.asarray(R), np.asarray(t)
-            registered[a] = registered[b] = True
-            init_done = True
-            stats["init_pair"] = (int(a), int(b))
-            break
-    if not init_done:
-        raise ReconError("no valid initial pair")
-
     def run_triangulation():
         Xn, ok = _triangulate_all(
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(registered),
@@ -305,9 +282,41 @@ def reconstruct(
         obs_count = np.bincount(obs_pt[alive], minlength=T)
         X_alive[obs_count < cfg.min_track_views] = False
 
-    run_triangulation()
-    if X_alive.sum() < 8:
-        raise ReconError("initial triangulation produced too few points")
+    init_done = False
+    stats = {"ransac_inliers": [], "ba_costs": []}
+    for (a, b) in pair_order:
+        if cov[a, b] < cfg.min_init_inliers:
+            break
+        # correspondences: tracks observed by both
+        shared, ia, ib = np.intersect1d(cam_tracks[a], cam_tracks[b], return_indices=True)
+        xa = np.zeros((K, 2), np.float32)
+        xb = np.zeros((K, 2), np.float32)
+        valid = np.zeros(K, bool)
+        n = min(len(shared), K)
+        xa[:n] = xn_feat_np[a, cam_feats[a][ia[:n]]]
+        xb[:n] = xn_feat_np[b, cam_feats[b][ib[:n]]]
+        valid[:n] = True
+        key, sk = jax.random.split(key)
+        R, t, inl, cnt, par = _init_pair_step(
+            sk, jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(valid),
+            thresh_n, cfg.ransac_hypotheses,
+        )
+        if int(cnt) < cfg.min_init_inliers or float(par) <= cfg.min_parallax_deg:
+            continue
+        cam_R[a], cam_t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+        cam_R[b], cam_t[b] = np.asarray(R), np.asarray(t)
+        registered[a] = registered[b] = True
+        run_triangulation()
+        if X_alive.sum() >= max(8, cfg.min_init_inliers // 2):
+            init_done = True
+            stats["init_pair"] = (int(a), int(b))
+            break
+        # seed failed to triangulate (degenerate pose/geometry): reset & retry
+        registered[a] = registered[b] = False
+        X_alive[:] = False
+    if not init_done:
+        raise ReconError("no valid initial pair (all candidates failed to seed)")
+
     run_ba(cfg.ba_iters)
 
     # ---- incremental loop --------------------------------------------------
@@ -386,6 +395,27 @@ def reconstruct(
             callbacks(registered.copy(), X_alive.copy())
 
     run_ba(cfg.final_ba_iters)
+
+    if cfg.refine_intrinsics:
+        # final joint pose+point+intrinsics LM (self-calibration; the
+        # reference's ADJUST_ALL default) — focal/distortion errors trade off
+        # against depth and are invisible to alternating refinement
+        alive_w = obs_alive_mask().astype(np.float32)
+        fixedm = np.zeros(C, bool)
+        fixedm[~registered] = True
+        fixedm[np.flatnonzero(registered)[0]] = True
+        R2, t2, X2, intr2, _ = lm.ba_solve_intrinsics(
+            intr_j, jnp.asarray(cam_k, jnp.int32),
+            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt),
+            jnp.asarray(obs_uv, jnp.float32), jnp.asarray(alive_w),
+            jnp.asarray(fixedm), params=tuple(cfg.refine_intrinsics),
+            iters=cfg.final_ba_iters, cg_iters=cfg.cg_iters,
+            huber_px=cfg.huber_px,
+        )
+        cam_R, cam_t, X = np.array(R2), np.array(t2), np.array(X2)
+        intr = np.array(intr2)
+        stats["refined_intrinsics"] = np.asarray(intr2).tolist()
 
     scene = new_scene(C, T, O, intr, cam_k=jnp.asarray(cam_k, jnp.int32))
     scene = dataclasses.replace(

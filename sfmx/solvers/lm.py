@@ -162,3 +162,105 @@ def reprojection_rmse(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid):
     r2 = jnp.sum(r * r, axis=-1)
     n = jnp.maximum(jnp.sum(w_valid), 1.0)
     return jnp.sqrt(jnp.sum(r2 * w_valid) / n)
+
+
+# ---------------------------------------------------------------------------
+# Joint pose+point+intrinsics LM (reference refines intrinsics by default)
+# ---------------------------------------------------------------------------
+
+def _jacobians_k(intr, k_idx, R, t, X, cam_id, pt_id, uv, params, f_ref):
+    """Residual + Jacobians wrt (cam 6, point 3, intrinsics n_p).
+
+    Normalization uses the FIXED f_ref so the focal derivative isn't partly
+    absorbed by the per-observation weight.
+    """
+    from .intrinsics import _delta_to_intr
+
+    n_p = len(params)
+
+    def one(kc, Rc, tc, Xp, uv_o):
+        def f(p):
+            R2, t2 = se3.perturb(Rc, tc, p[:6])
+            k2 = _delta_to_intr(kc, p[9:9 + n_p], params)
+            return cameras.reprojection_residual(k2, R2, t2, Xp + p[6:9], uv_o) / f_ref
+
+        zero = jnp.zeros(9 + n_p, dtype=X.dtype)
+        r = f(zero)
+        J = jax.jacfwd(f)(zero)
+        return r, J[:, :6], J[:, 6:9], J[:, 9:]
+
+    ko = intr[k_idx[cam_id]]
+    return jax.vmap(one)(ko, R[cam_id], t[cam_id], X[pt_id], uv)
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "params"))
+def ba_solve_intrinsics(
+    intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, fixed_cam_mask, *,
+    params: tuple = ("f", "k1"), iters: int = 20, cg_iters: int = 30,
+    huber_px: float = 4.0, init_lambda: float = 1e-4,
+):
+    """LM over poses, points AND shared intrinsics (joint Schur system).
+
+    Returns (R, t, X, intr, costs).
+    """
+    from .intrinsics import _delta_to_intr
+    from . import schur as schur_mod
+
+    n_cams = R.shape[0]
+    n_pts = X.shape[0]
+    n_groups = intr.shape[0]
+    f_ref = jnp.mean(0.5 * (intr[:, 0] + intr[:, 1]))
+    huber_n = huber_px / f_ref
+    cam_group = k_idx
+    group = k_idx[cam_id]
+
+    def eval_cost(intr, R, t, X):
+        ko = intr[k_idx[cam_id]]
+        r = jax.vmap(cameras.reprojection_residual)(
+            ko, R[cam_id], t[cam_id], X[pt_id], uv) / f_ref
+        r2 = jnp.sum(r * r, axis=-1)
+        return robust_cost(r2, w_valid, huber_n)
+
+    cost0 = eval_cost(intr, R, t, X)
+
+    def lm_iter(state, _):
+        intr, R, t, X, lam, cost = state
+        r, Jc, Jp, Jk = _jacobians_k(intr, k_idx, R, t, X, cam_id, pt_id, uv,
+                                     params, f_ref)
+        r2 = jnp.sum(r * r, axis=-1)
+        w = w_valid * huber_weight(r2, huber_n)
+        nbk = schur_mod.assemble_with_intrinsics(
+            Jc, Jp, Jk, r, w, cam_id, pt_id, group, cam_group,
+            n_cams, n_pts, n_groups)
+        sk = schur_mod.reduce_system_k(nbk, lam)
+        dx_c, dx_k = schur_mod.pcg_k(sk, iters=cg_iters,
+                                     fixed_cam_mask=fixed_cam_mask)
+        dx_p = schur_mod.solve_points_k(sk, dx_c, dx_k)
+
+        alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625], X.dtype)
+
+        def trial(alpha):
+            R2, t2 = se3.perturb_b(R, t, alpha * dx_c)
+            intr2 = jax.vmap(lambda k, d: _delta_to_intr(k, d, params))(
+                intr, alpha * dx_k)
+            return eval_cost(intr2, R2, t2, X + alpha * dx_p)
+
+        tc = jax.vmap(trial)(alphas)
+        best = jnp.argmin(tc)
+        alpha = alphas[best]
+        new_cost = tc[best]
+        R2, t2 = se3.perturb_b(R, t, alpha * dx_c)
+        X2 = X + alpha * dx_p
+        intr2 = jax.vmap(lambda k, d: _delta_to_intr(k, d, params))(
+            intr, alpha * dx_k)
+        accept = new_cost < cost
+        full = accept & (best == 0)
+        lam2 = jnp.clip(jnp.where(full, lam * 0.33,
+                                  jnp.where(accept, lam, lam * 4.0)), 1e-9, 1e6)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        return (sel(intr2, intr), sel(R2, R), sel(t2, t), sel(X2, X), lam2,
+                jnp.where(accept, new_cost, cost)), new_cost
+
+    init = (intr, R, t, X, jnp.asarray(init_lambda, X.dtype), cost0)
+    (intr, R, t, X, _, _), costs = jax.lax.scan(lm_iter, init, None, length=iters)
+    return R, t, X, intr, jnp.concatenate([cost0[None], costs])

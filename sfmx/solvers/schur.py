@@ -167,3 +167,139 @@ def pcg(sys: SchurSystem, iters: int = 30, fixed_cam_mask=None):
 
     x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, p0))
     return x, jnp.sqrt(jnp.sum(r * r))
+
+
+# ---------------------------------------------------------------------------
+# Extended system: shared-intrinsics blocks in the reduced camera system
+# ---------------------------------------------------------------------------
+
+class NormalBlocksK(NamedTuple):
+    """Normal blocks with per-group intrinsics parameters (n_p each).
+
+    Each camera couples to exactly one intrinsics group (k_idx[cam]), so the
+    pose<->intrinsics coupling is a per-camera (6,n_p) block and everything
+    stays segment-sum shaped.
+    """
+
+    base: NormalBlocks
+    Ukk: jax.Array      # (I,n_p,n_p)
+    Uck: jax.Array      # (C,6,n_p)  pose-intrinsics coupling (summed per cam)
+    Wk: jax.Array       # (O,n_p,3)  intrinsics-point coupling per obs
+    b_k: jax.Array      # (I,n_p)
+    group: jax.Array    # (O,) intrinsics group of each observation
+    cam_group: jax.Array  # (C,) intrinsics group of each camera
+
+
+def assemble_with_intrinsics(Jc, Jp, Jk, r, w, cam_id, pt_id, group, cam_group,
+                             n_cams: int, n_pts: int, n_groups: int) -> NormalBlocksK:
+    base = assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts)
+    ws = w[:, None, None]
+    Jk_w = Jk * ws
+    Ukk_o = jnp.einsum("oik,oil->okl", Jk_w, Jk)
+    Uck_o = jnp.einsum("oik,oil->okl", Jc * ws, Jk)   # (O,6,n_p)
+    Wk_o = jnp.einsum("oik,oil->okl", Jk_w, Jp)        # (O,n_p,3)
+    bk_o = -jnp.einsum("oik,oi->ok", Jk_w, r)
+    Ukk = jax.ops.segment_sum(Ukk_o, group, num_segments=n_groups)
+    Uck = jax.ops.segment_sum(Uck_o, cam_id, num_segments=n_cams)
+    b_k = jax.ops.segment_sum(bk_o, group, num_segments=n_groups)
+    return NormalBlocksK(base, Ukk, Uck, Wk_o, b_k, group, cam_group)
+
+
+class SchurSystemK(NamedTuple):
+    sys: SchurSystem     # pose/point part (damped, reduced)
+    Ukk_d: jax.Array     # (I,n_p,n_p) damped
+    Uck: jax.Array       # (C,6,n_p)
+    Wk: jax.Array        # (O,n_p,3)
+    b_red_k: jax.Array   # (I,n_p)
+    group: jax.Array
+    cam_group: jax.Array
+
+    @property
+    def n_groups(self) -> int:
+        return self.Ukk_d.shape[0]
+
+
+def reduce_system_k(nbk: NormalBlocksK, lam) -> SchurSystemK:
+    sys = reduce_system(nbk.base, lam)
+    nb = nbk.base
+    Ukk_d = _damp(nbk.Ukk, lam)
+    # b_red_k = b_k - Wk V^{-1} b_p
+    Vinv_bp = jnp.einsum("pij,pj->pi", sys.Vinv, nb.b_p)
+    contrib = jnp.einsum("oij,oj->oi", nbk.Wk, Vinv_bp[nb.pt_id])
+    b_red_k = nbk.b_k - jax.ops.segment_sum(
+        contrib, nbk.group, num_segments=nbk.Ukk.shape[0])
+    return SchurSystemK(sys, Ukk_d, nbk.Uck, nbk.Wk, b_red_k, nbk.group,
+                        nbk.cam_group)
+
+
+def schur_matvec_k(sk: SchurSystemK, x_c: jax.Array, x_k: jax.Array):
+    """Matvec of the reduced system over (poses, intrinsics groups)."""
+    sys = sk.sys
+    nb = sys.blocks
+    # direct terms
+    y_c = jnp.einsum("cij,cj->ci", sys.Ud, x_c)
+    y_c += jnp.einsum("cij,cj->ci", sk.Uck, x_k[sk.cam_group])
+    y_k = jnp.einsum("gij,gj->gi", sk.Ukk_d, x_k)
+    y_k += jax.ops.segment_sum(
+        jnp.einsum("cji,cj->ci", sk.Uck, x_c), sk.cam_group,
+        num_segments=sk.n_groups)
+    # point-mediated terms: z_p = V^{-1} (Wc^T x_c + Wk^T x_k) per point
+    Wtx = jnp.einsum("oji,oj->oi", nb.Wc, x_c[nb.cam_id])
+    Wtx += jnp.einsum("oji,oj->oi", sk.Wk, x_k[sk.group])
+    z_p = jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts)
+    Vz = jnp.einsum("pij,pj->pi", sys.Vinv, z_p)
+    y_c -= jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", nb.Wc, Vz[nb.pt_id]), nb.cam_id,
+        num_segments=sys.n_cams)
+    y_k -= jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", sk.Wk, Vz[nb.pt_id]), sk.group,
+        num_segments=sk.n_groups)
+    return y_c, y_k
+
+
+def solve_points_k(sk: SchurSystemK, dx_c: jax.Array, dx_k: jax.Array) -> jax.Array:
+    nb = sk.sys.blocks
+    Wtx = jnp.einsum("oji,oj->oi", nb.Wc, dx_c[nb.cam_id])
+    Wtx += jnp.einsum("oji,oj->oi", sk.Wk, dx_k[sk.group])
+    rhs = nb.b_p - jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sk.sys.n_pts)
+    return jnp.einsum("pij,pj->pi", sk.sys.Vinv, rhs)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_k(sk: SchurSystemK, iters: int = 30, fixed_cam_mask=None):
+    """Block-Jacobi PCG on the (poses + intrinsics) reduced system."""
+    Minv_c = _inv_spd(sk.sys.Ud)
+    Minv_k = _inv_spd(sk.Ukk_d)
+
+    def proj(xc, xk):
+        if fixed_cam_mask is None:
+            return xc, xk
+        return jnp.where(fixed_cam_mask[:, None], 0.0, xc), xk
+
+    def prec(rc, rk):
+        return (jnp.einsum("cij,cj->ci", Minv_c, rc),
+                jnp.einsum("gij,gj->gi", Minv_k, rk))
+
+    b_c, b_k = proj(sk.sys.b_red, sk.b_red_k)
+    x = (jnp.zeros_like(b_c), jnp.zeros_like(b_k))
+    r = (b_c, b_k)
+    z = proj(*prec(*r))
+    p = z
+
+    def dot(a, b):
+        return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+    def body(_, carry):
+        x, r, z, p = carry
+        Sp = proj(*schur_matvec_k(sk, *p))
+        rz = dot(r, z)
+        alpha = rz / jnp.maximum(dot(p, Sp), 1e-20)
+        x2 = (x[0] + alpha * p[0], x[1] + alpha * p[1])
+        r2 = (r[0] - alpha * Sp[0], r[1] - alpha * Sp[1])
+        z2 = proj(*prec(*r2))
+        beta = dot(r2, z2) / jnp.maximum(rz, 1e-20)
+        p2 = (z2[0] + beta * p[0], z2[1] + beta * p[1])
+        return (x2, r2, z2, p2)
+
+    x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, z, p))
+    return x[0], x[1]
