@@ -100,19 +100,22 @@ class LocalizationService:
                         fut.set_exception(e)
 
     def _run_batch(self, batch):
-        # group by map id (vmapped path shares a map)
-        by_map: dict[str, list] = {}
+        # group by (map id, K) so each group runs as ONE vmapped device call
+        by_map: dict[tuple, list] = {}
         for req in batch:
-            by_map.setdefault(req[0], []).append(req)
-        for map_id, reqs in by_map.items():
+            by_map.setdefault((req[0], req[1].shape[0]), []).append(req)
+        for (map_id, _k), reqs in by_map.items():
             lmap, intr = self.maps[map_id]
             self._key, k = jax.random.split(self._key)
             keys = jax.random.split(k, len(reqs))
-            for (map_id_, q_desc, q_uv, q_mask, prior, fut), kq in zip(reqs, keys):
-                res = localize_query(
-                    lmap, jnp.asarray(q_desc), jnp.asarray(q_uv), jnp.asarray(q_mask),
-                    intr, kq,
-                )
+            q_desc = jnp.asarray(np.stack([r[1] for r in reqs]))
+            q_uv = jnp.asarray(np.stack([r[2] for r in reqs]))
+            q_mask = jnp.asarray(np.stack([r[3] for r in reqs]))
+            res_b = jax.vmap(
+                lambda d, u, m, kq: localize_query(lmap, d, u, m, intr, kq)
+            )(q_desc, q_uv, q_mask, keys)
+            for i, (map_id_, _d, _u, _m, prior, fut) in enumerate(reqs):
+                res = jax.tree_util.tree_map(lambda x: x[i], res_b)
                 fused = fuse(res, prior)
                 fut.set_result({
                     "t": np.asarray(res.t).tolist(),

@@ -1,0 +1,53 @@
+"""Ingest (C1): directory and video loading, intrinsics initialization."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from sfmx.cli.ingest import default_intrinsics, load_directory, load_video
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = (rng.random((48, 64)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img{i:02d}.png")
+    (tmp_path / "notes.txt").write_text("ignored")
+    return tmp_path
+
+
+def test_load_directory(image_dir):
+    ws = load_directory(image_dir, resize_to=(32, 24))
+    assert ws.images.shape == (4, 24, 32)
+    assert ws.images.dtype == np.float32
+    assert 0.0 <= ws.images.min() and ws.images.max() <= 1.0
+    assert ws.intrinsics.shape == (1, 7)
+    # default focal = 1.2 * max(w,h)
+    assert ws.intrinsics[0, 0] == pytest.approx(1.2 * 32)
+    assert len(ws.image_paths) == 4
+    assert ws.image_paths == sorted(ws.image_paths)
+
+
+def test_load_directory_empty(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_directory(tmp_path)
+
+
+def test_default_intrinsics():
+    k = default_intrinsics(640, 480)
+    assert k[0] == k[1] == pytest.approx(768.0)
+    assert (k[2], k[3]) == (320.0, 240.0)
+
+
+def test_load_video(tmp_path):
+    import cv2
+
+    p = str(tmp_path / "walk.avi")
+    w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"MJPG"), 10, (64, 48))
+    rng = np.random.default_rng(1)
+    for i in range(25):
+        w.write((rng.random((48, 64, 3)) * 255).astype(np.uint8))
+    w.release()
+    ws = load_video(p, every_n=5, resize_to=(32, 24))
+    assert ws.images.shape == (5, 24, 32)
+    assert all("#frame" in s for s in ws.image_paths)
