@@ -180,6 +180,42 @@ def project_to_so3(M: jax.Array) -> jax.Array:
     return U @ S @ Vt
 
 
+def _inv3(M: jax.Array) -> jax.Array:
+    """Closed-form 3x3 inverse via adjugate (branch-free, mul/add only)."""
+    c0 = jnp.cross(M[:, 1], M[:, 2])
+    c1 = jnp.cross(M[:, 2], M[:, 0])
+    c2 = jnp.cross(M[:, 0], M[:, 1])
+    adjT = jnp.stack([c0, c1, c2], axis=0)  # rows = cofactor columns
+    det = jnp.dot(M[:, 0], c0)
+    det = jnp.where(jnp.abs(det) < 1e-30, jnp.sign(det) * 1e-30 + 1e-30, det)
+    return adjT / det
+
+
+def project_to_so3_fast(M: jax.Array, iters: int = 5) -> jax.Array:
+    """SVD-free nearest rotation: scaled Higham polar iteration.
+
+    X <- (g X + (g X)^-T) / 2 with determinant scaling g = |det X|^(-1/3);
+    quadratic convergence, all mul/adds (adjugate 3x3 inverse) — orders of
+    magnitude faster than `jnp.linalg.svd` when vmapped over thousands of
+    RANSAC hypotheses on TPU.  Needs det(M) != 0; reflections (det<0) are
+    flipped first so the result has det=+1, matching project_to_so3 for
+    inputs that are near a (scaled) rotation — exactly the RANSAC case.
+    Degenerate inputs yield a finite garbage rotation that scores no inliers.
+    """
+    det = jnp.linalg.det(M)
+    sign = jnp.where(det < 0, -1.0, 1.0).astype(M.dtype)
+    X = M * sign
+
+    def body(_, X):
+        d = jnp.abs(jnp.linalg.det(X))
+        g = jnp.power(jnp.maximum(d, 1e-30), -1.0 / 3.0)
+        Xg = X * g
+        return 0.5 * (Xg + _inv3(Xg).T)
+
+    X = jax.lax.fori_loop(0, iters, body, X)
+    return jnp.where(jnp.all(jnp.isfinite(X)), X, jnp.eye(3, dtype=M.dtype))
+
+
 # Batched versions (leading axis N) — the forms the pipeline actually calls.
 so3_exp_b = jax.vmap(so3_exp)
 so3_log_b = jax.vmap(so3_log)

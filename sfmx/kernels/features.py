@@ -292,13 +292,40 @@ def detect(levels: jax.Array, resp: jax.Array, cfg: ScaleSpaceConfig, *,
     )
     is_max &= bmask[None, None]
 
-    flat = jnp.where(is_max, resp, -jnp.inf).reshape(B, L * H * W)
-    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    masked = jnp.where(is_max, resp, -jnp.inf)
+    # Hierarchical top-K: global top_k over the full (L*H*W) response costs
+    # ~40 ms/batch16 on TPU.  NMS + the radius-3 suppression below guarantee
+    # at most one *surviving* keypoint per (L,2,2) block (any two candidates
+    # inside a block are <3 px apart, so the weaker one dies either way), so
+    # max-reduce blocks first (20x smaller top_k), then recover the exact
+    # in-block argmax with a tiny gather.
+    Hp, Wp = H + (H % 2), W + (W % 2)
+    if (Hp, Wp) != (H, W):
+        masked_p = jnp.pad(masked, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)),
+                           constant_values=-jnp.inf)
+    else:
+        masked_p = masked
+    reduced = jax.lax.reduce_window(
+        masked_p, -jnp.inf, jax.lax.max, (1, L, 2, 2), (1, L, 2, 2), "VALID"
+    )  # (B,1,Hp/2,Wp/2)
+    RW = Wp // 2
+    vals, ridx = jax.lax.top_k(reduced.reshape(B, -1), max_keypoints)
     mask = jnp.isfinite(vals) & (vals > threshold)
-    lvl = idx // (H * W)
-    rem = idx % (H * W)
-    iy = rem // W
-    ix = rem % W
+    ry, rx = ridx // RW, ridx % RW
+    # gather the (L,2,2) source block of every winner, argmax within
+    lv_g = jnp.arange(L)[:, None, None]
+    dy_g = jnp.arange(2)[None, :, None]
+    dx_g = jnp.arange(2)[None, None, :]
+    block = masked_p[
+        jnp.arange(B)[:, None, None, None, None],
+        lv_g[None, None],
+        (2 * ry)[:, :, None, None, None] + dy_g[None, None],
+        (2 * rx)[:, :, None, None, None] + dx_g[None, None],
+    ]  # (B,K,L,2,2)
+    amax = jnp.argmax(block.reshape(B, max_keypoints, -1), axis=-1)
+    lvl = amax // 4
+    iy = 2 * ry + (amax % 4) // 2
+    ix = 2 * rx + amax % 2
 
     # Subpixel refinement: 2D quadratic fit on the response at the level.
     def refine_one(r_lhw, lvl_k, iy_k, ix_k):

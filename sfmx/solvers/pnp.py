@@ -48,19 +48,21 @@ def dlt_pnp(xn: jax.Array, X: jax.Array, mask: jax.Array):
     A = jnp.concatenate([r0 * w[:, None], r1 * w[:, None]], axis=0)  # (2N,12)
     AtA = A.T @ A
     # inverse iteration beats a full 12x12 eigh by ~an order of magnitude in
-    # the vmapped RANSAC hot path (thousands of independent solves)
+    # the vmapped RANSAC hot path (thousands of independent solves); the
+    # exact-eigh breakdown fallback must stay OFF here — under vmap it would
+    # run for every hypothesis (lax.cond -> select)
     from .linalg import smallest_eigvec_spd
 
-    p = smallest_eigvec_spd(AtA)
+    p = smallest_eigvec_spd(AtA, exact_fallback=False)
     P = p.reshape(3, 4)
     M = P[:, :3]
     # Recover scale/sign: s.t. M/s is a rotation and depths are positive.
-    Up, D, Vtp = jnp.linalg.svd(M)
-    scale = jnp.mean(D)
+    # For M near a scaled rotation sQ, ||M||_F = s*sqrt(3) — avoids an SVD.
+    scale = jnp.linalg.norm(M) / jnp.sqrt(jnp.asarray(3.0, M.dtype))
     sign = jnp.sign(jnp.sum((Xs @ M[2, :].T + P[2, 3]) * w))  # majority depth sign
     sign = jnp.where(sign == 0, 1.0, sign)
     Mn = M * (sign / jnp.maximum(scale, 1e-12))
-    R = se3.project_to_so3(Mn)
+    R = se3.project_to_so3_fast(Mn)
     t_s = P[:, 3] * (sign / jnp.maximum(scale, 1e-12))
     # Undo world conditioning: xn ~ R*(sX*(X-muX)) + t_s  =>  t = t_s/sX... careful:
     # R @ Xs + t_s = R sX (X - muX) + t_s; want R X + t => divide by sX:
