@@ -60,6 +60,71 @@ def _jacobians(intr, k_idx, R, t, X, cam_id, pt_id, uv):
     return jax.vmap(one)(ko, R[cam_id], t[cam_id], X[pt_id], uv)
 
 
+def _jacobians_planes(intr, k_idx, R, t, X, cam_id, pt_id, uv):
+    """Analytic residual + Jacobians in PLANES layout: (O,2), (O,12), (O,6).
+
+    Same math as ``_jacobians`` (parity-tested) but every intermediate is an
+    (O,)-wide component array and every output is 2D with the O axis on
+    lanes.  The vmapped-jacfwd version materializes (O,2,6)/(O,2,9) arrays
+    whose two small minor dims tile to (2,128)/(8,128) on TPU — 10-21x
+    physical memory inflation (measured: the Jacobian pipeline dominated
+    the LM fixed cost).  Column order of Jc: [du/d(w,t) (6) | dv/d(w,t) (6)];
+    Jp: [du/dX (3) | dv/dX (3)] — consumed by ``schur.assemble_planes``.
+    """
+    ko = intr[k_idx[cam_id]]                 # (O,7) — 2D, fine
+    Rf = R.reshape(-1, 9)[cam_id]            # (O,9) rows r00..r22
+    tf = t[cam_id]                           # (O,3)
+    Xf = X[pt_id]                            # (O,3)
+    fx, fy = ko[:, 0], ko[:, 1]
+    cx, cy = ko[:, 2], ko[:, 3]
+    k1, k2, k3 = ko[:, 4], ko[:, 5], ko[:, 6]
+    fm = 0.5 * (fx + fy)
+    X0, X1, X2 = Xf[:, 0], Xf[:, 1], Xf[:, 2]
+    # s = R X ;  Xc = s + t
+    s0 = Rf[:, 0] * X0 + Rf[:, 1] * X1 + Rf[:, 2] * X2
+    s1 = Rf[:, 3] * X0 + Rf[:, 4] * X1 + Rf[:, 5] * X2
+    s2 = Rf[:, 6] * X0 + Rf[:, 7] * X1 + Rf[:, 8] * X2
+    xc, yc, zc = s0 + tf[:, 0], s1 + tf[:, 1], s2 + tf[:, 2]
+    zs = jnp.where(jnp.abs(zc) < 1e-9, 1e-9, zc)
+    iz = 1.0 / zs
+    xn, yn = xc * iz, yc * iz
+    r2 = xn * xn + yn * yn
+    fd = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    fp = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)      # d fd / d r2
+    ru = (fx * (xn * fd) + cx - uv[:, 0]) / fm
+    rv = (fy * (yn * fd) + cy - uv[:, 1]) / fm
+    # 2x2 distortion+focal block A (already /fm)
+    gx, gy = fx / fm, fy / fm
+    A00 = gx * (fd + 2.0 * xn * xn * fp)
+    A01 = gx * (2.0 * xn * yn * fp)
+    A10 = gy * (2.0 * xn * yn * fp)
+    A11 = gy * (fd + 2.0 * yn * yn * fp)
+    # B = A @ d xn/d Xc   (2x3): B[i] = [Ai0, Ai1, -(Ai0 xn + Ai1 yn)] * iz
+    B00, B01 = A00 * iz, A01 * iz
+    B02 = -(A00 * xn + A01 * yn) * iz
+    B10, B11 = A10 * iz, A11 * iz
+    B12 = -(A10 * xn + A11 * yn) * iz
+    # rotation columns: d Xc/d w_j = e_j x s
+    # col0=(0,-s2,s1) col1=(s2,0,-s0) col2=(-s1,s0,0)
+    Jc = jnp.stack([
+        -B01 * s2 + B02 * s1, B00 * s2 - B02 * s0, -B00 * s1 + B01 * s0,
+        B00, B01, B02,
+        -B11 * s2 + B12 * s1, B10 * s2 - B12 * s0, -B10 * s1 + B11 * s0,
+        B10, B11, B12,
+    ], axis=-1)                                       # (O,12)
+    # Jp = B @ R
+    Jp = jnp.stack([
+        B00 * Rf[:, 0] + B01 * Rf[:, 3] + B02 * Rf[:, 6],
+        B00 * Rf[:, 1] + B01 * Rf[:, 4] + B02 * Rf[:, 7],
+        B00 * Rf[:, 2] + B01 * Rf[:, 5] + B02 * Rf[:, 8],
+        B10 * Rf[:, 0] + B11 * Rf[:, 3] + B12 * Rf[:, 6],
+        B10 * Rf[:, 1] + B11 * Rf[:, 4] + B12 * Rf[:, 7],
+        B10 * Rf[:, 2] + B11 * Rf[:, 5] + B12 * Rf[:, 8],
+    ], axis=-1)                                       # (O,6)
+    r = jnp.stack([ru, rv], axis=-1)                  # (O,2)
+    return r, Jc, Jp
+
+
 def huber_weight(r2: jax.Array, delta: float) -> jax.Array:
     """IRLS weight for Huber loss given squared residual norm."""
     rn = jnp.sqrt(jnp.maximum(r2, 1e-20))
@@ -79,7 +144,7 @@ def _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, delta):
     return robust_cost(r2, w_valid, delta)
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap"))
 def ba_solve(
     intr: jax.Array,      # (I,7)
     k_idx: jax.Array,     # (C,) int32
@@ -96,29 +161,73 @@ def ba_solve(
     cg_iters: int = 30,
     huber_px: float = 4.0,
     init_lambda: float = 1e-4,
+    tp_cap: int | None = None,
+    tc_cap: int | None = None,
 ):
     """Run `iters` LM iterations; returns (R, t, X, costs[iters+1]).
 
     ``huber_px`` is given in pixels and converted to the normalized-residual
     domain with the mean focal length.
+
+    tp_cap/tc_cap: static upper bounds on observations per point (track
+    length) / per camera.  When given, every segment reduction in the
+    Schur/PCG path runs scatter-free via padded per-segment obs tables
+    (``schur.SegmentRows``), the fast path on TPU.  MUST be true bounds —
+    callers know them (track builder caps track length; a camera has at
+    most K feature slots); overflowing observations would be dropped.
     """
     n_cams = R.shape[0]
     n_pts = X.shape[0]
     f_ref = jnp.mean(0.5 * (intr[:, 0] + intr[:, 1]))
     huber_n = huber_px / f_ref
 
+    # Sort the obs table by pt_id once: point-side segment reductions in
+    # assembly/PCG then use the sorted-scatter path (52x faster on TPU).
+    # Results are order-invariant (all uses are sums).
+    perm = jnp.argsort(pt_id)
+    cam_id, pt_id, uv, w_valid = (
+        cam_id[perm], pt_id[perm], uv[perm], w_valid[perm])
+    pt_rows = (schur.build_rows(pt_id, n_pts, tp_cap, ids_sorted=True)
+               if tp_cap else None)
+    cam_rows = (schur.build_rows(cam_id, n_cams, tc_cap)
+                if tc_cap else None)
+
     cost0 = _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, huber_n)
     state = BAState(R, t, X, jnp.asarray(init_lambda, X.dtype), cost0)
 
     def lm_iter(state: BAState, _):
         R, t, X = state.R, state.t, state.X
-        r, Jc, Jp = _jacobians(intr, k_idx, R, t, X, cam_id, pt_id, uv)
-        r2 = jnp.sum(r * r, axis=-1)
-        w = w_valid * huber_weight(r2, huber_n)
-        nb = schur.assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts)
-        sys = schur.reduce_system(nb, state.lam)
-        dx_c, _ = schur.pcg(sys, iters=cg_iters, fixed_cam_mask=fixed_cam_mask)
-        dx_p = schur.solve_points(sys, dx_c)
+        # NOTE on strategy selection (measured on the round-1 chip, which
+        # has ~105 GB/s HBM): the einsum+sorted-scatter path below, the
+        # rows-gather path (pt_rows/cam_rows), the track-blocked CG and the
+        # planes pipeline (assemble_planes/pcg_planes) all land within ~10%
+        # of each other at config-3 scale — the chip is gather/scatter
+        # throughput bound either way.  The alternatives are kept (parity
+        # tested) because their relative cost is layout- and
+        # bandwidth-dependent; re-race them on full-bandwidth hardware.
+        if pt_rows is not None:
+            r, Jc, Jp = _jacobians_planes(intr, k_idx, R, t, X,
+                                          cam_id, pt_id, uv)
+            r2 = jnp.sum(r * r, axis=-1)
+            w = w_valid * huber_weight(r2, huber_n)
+            nbp = schur.assemble_planes(
+                Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
+                pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
+            sysp = schur.reduce_system_planes(nbp, state.lam, pt_sorted=True)
+            dx_c, _ = schur.pcg_planes(sysp, iters=cg_iters,
+                                       fixed_cam_mask=fixed_cam_mask,
+                                       pt_sorted=True)
+            dx_p = schur.solve_points_planes(sysp, dx_c, pt_sorted=True)
+        else:
+            r, Jc, Jp = _jacobians(intr, k_idx, R, t, X, cam_id, pt_id, uv)
+            r2 = jnp.sum(r * r, axis=-1)
+            w = w_valid * huber_weight(r2, huber_n)
+            nb = schur.assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
+                                pt_sorted=True)
+            sys = schur.reduce_system(nb, state.lam)
+            dx_c, _ = schur.pcg(sys, iters=cg_iters,
+                                fixed_cam_mask=fixed_cam_mask, pt_sorted=True)
+            dx_p = schur.solve_points(sys, dx_c, pt_sorted=True)
 
         # Step-scaling line search: f32 assembly noise can corrupt the step's
         # components along flat (gauge/low-parallax) directions, making the
@@ -211,6 +320,9 @@ def ba_solve_intrinsics(
     n_groups = intr.shape[0]
     f_ref = jnp.mean(0.5 * (intr[:, 0] + intr[:, 1]))
     huber_n = huber_px / f_ref
+    perm = jnp.argsort(pt_id)  # sorted-scatter fast path (see ba_solve)
+    cam_id, pt_id, uv, w_valid = (
+        cam_id[perm], pt_id[perm], uv[perm], w_valid[perm])
     cam_group = k_idx
     group = k_idx[cam_id]
 
@@ -231,11 +343,12 @@ def ba_solve_intrinsics(
         w = w_valid * huber_weight(r2, huber_n)
         nbk = schur_mod.assemble_with_intrinsics(
             Jc, Jp, Jk, r, w, cam_id, pt_id, group, cam_group,
-            n_cams, n_pts, n_groups)
+            n_cams, n_pts, n_groups, pt_sorted=True)
         sk = schur_mod.reduce_system_k(nbk, lam)
         dx_c, dx_k = schur_mod.pcg_k(sk, iters=cg_iters,
-                                     fixed_cam_mask=fixed_cam_mask)
-        dx_p = schur_mod.solve_points_k(sk, dx_c, dx_k)
+                                     fixed_cam_mask=fixed_cam_mask,
+                                     pt_sorted=True)
+        dx_p = schur_mod.solve_points_k(sk, dx_c, dx_k, pt_sorted=True)
 
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625], X.dtype)
 

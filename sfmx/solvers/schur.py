@@ -38,9 +38,12 @@ class NormalBlocks(NamedTuple):
     b_p: jax.Array      # (P,3)  = -Jp^T r
     cam_id: jax.Array   # (O,)
     pt_id: jax.Array    # (O,)
+    pt_rows: "SegmentRows | None" = None   # scatter-free reduction tables
+    cam_rows: "SegmentRows | None" = None
 
 
-def assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams: int, n_pts: int) -> NormalBlocks:
+def assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams: int, n_pts: int,
+             pt_sorted: bool = False, pt_rows=None, cam_rows=None) -> NormalBlocks:
     """Build normal-equation blocks from per-observation Jacobians.
 
     Args:
@@ -48,6 +51,14 @@ def assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams: int, n_pts: int) -> NormalBloc
       Jp: (O,2,3) wrt point.
       r:  (O,2) residuals.
       w:  (O,) weights (0 for invalid; robust-loss weights otherwise).
+      pt_sorted: static flag — the obs table is sorted by ``pt_id``.  The
+        point-side segment reductions then lower to a fast sorted-scatter
+        (measured 52x faster than random-order scatter-add on TPU for the
+        (O,3,3) V assembly).  Solvers sort once per solve; the obs order
+        does not affect any result.
+      pt_rows/cam_rows: optional ``SegmentRows`` tables (built once per
+        solve) — replaces every segment reduction with gather + dense sum,
+        the fastest path on TPU (scatter-free).
     """
     ws = w[:, None, None]
     Jc_w = Jc * ws
@@ -58,25 +69,158 @@ def assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams: int, n_pts: int) -> NormalBloc
     bc_o = -jnp.einsum("oik,oi->ok", Jc_w, r)            # (O,6)
     bp_o = -jnp.einsum("oik,oi->ok", Jp * ws, r)         # (O,3)
 
-    U = jax.ops.segment_sum(U_o, cam_id, num_segments=n_cams)
-    V = jax.ops.segment_sum(V_o, pt_id, num_segments=n_pts)
-    b_c = jax.ops.segment_sum(bc_o, cam_id, num_segments=n_cams)
-    b_p = jax.ops.segment_sum(bp_o, pt_id, num_segments=n_pts)
-    return NormalBlocks(U, V, W_o, b_c, b_p, cam_id, pt_id)
+    if cam_rows is not None:
+        U = rows_sum(U_o, cam_rows)
+        b_c = rows_sum(bc_o, cam_rows)
+    else:
+        U = jax.ops.segment_sum(U_o, cam_id, num_segments=n_cams)
+        b_c = jax.ops.segment_sum(bc_o, cam_id, num_segments=n_cams)
+    if pt_rows is not None:
+        V = rows_sum(V_o, pt_rows)
+        b_p = rows_sum(bp_o, pt_rows)
+    else:
+        V = jax.ops.segment_sum(V_o, pt_id, num_segments=n_pts,
+                                indices_are_sorted=pt_sorted)
+        b_p = jax.ops.segment_sum(bp_o, pt_id, num_segments=n_pts,
+                                  indices_are_sorted=pt_sorted)
+    return NormalBlocks(U, V, W_o, b_c, b_p, cam_id, pt_id, pt_rows, cam_rows)
 
 
 def _damp(M: jax.Array, lam: jax.Array) -> jax.Array:
     """Levenberg multiplicative+additive damping of diagonal blocks."""
-    d = jnp.diagonal(M, axis1=-2, axis2=-1)
-    eye = jnp.eye(M.shape[-1], dtype=M.dtype)
+    k = M.shape[-1]
+    if k == 3:
+        # jnp.diagonal lowers to a gather (ms-scale on (P,3,3) batches);
+        # explicit component slices stay elementwise
+        d = jnp.stack([M[..., 0, 0], M[..., 1, 1], M[..., 2, 2]], axis=-1)
+    else:
+        d = jnp.diagonal(M, axis1=-2, axis2=-1)
+    eye = jnp.eye(k, dtype=M.dtype)
     return M + eye * (lam * d + 1e-10)[..., None, :] * eye
 
 
 def _inv_spd(M: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Batched SPD inverse with Tikhonov floor (3x3 / 6x6 blocks)."""
+    """Batched SPD inverse with Tikhonov floor (3x3 / 6x6 blocks).
+
+    3x3 blocks use the closed-form adjugate (pure mul/add — an order of
+    magnitude faster than batched LU for the (P,3,3) V inversion on TPU);
+    larger blocks fall back to ``jnp.linalg.inv``.
+    """
     k = M.shape[-1]
-    M = M + eps * jnp.eye(k, dtype=M.dtype)
-    return jnp.linalg.inv(M)
+    if k != 3:
+        return jnp.linalg.inv(M + eps * jnp.eye(k, dtype=M.dtype))
+    # Component-wise adjugate over (...,) planes: ops on arrays whose minor
+    # dims are the BATCH axis, never the 3-vectors (cross/stack on minor-3
+    # arrays lower to scalar kLoop fusions on TPU — measured 12 ms for a
+    # (20000,3,3) batch vs ~0.5 ms this way).
+    a, b_, c = M[..., 0, 0] + eps, M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1] + eps, M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2] + eps
+    A = e * i - f * h
+    B = c * h - b_ * i
+    Cc = b_ * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b_ * g - a * h
+    I = a * e - b_ * d
+    det = a * A + b_ * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    inv = jnp.stack([
+        jnp.stack([A, B, Cc], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, H, I], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+# ---------------------------------------------------------------------------
+# Padded-CSR segment reduction: scatter-free (gathers are fast on TPU,
+# scatter-adds are not — measured 6-30x per reduction at BA scales)
+# ---------------------------------------------------------------------------
+
+class SegmentRows(NamedTuple):
+    """Padded per-segment observation lists: rows[s, j] = obs index (or O,
+    the sentinel row) of the j-th observation of segment s."""
+
+    rows: jax.Array       # (S, cap) int32 in [0, O]; O = pad sentinel
+    overflow: jax.Array   # () int32 — obs that did not fit (MUST be 0)
+
+
+def build_rows(ids: jax.Array, n_segments: int, cap: int,
+               ids_sorted: bool = False) -> SegmentRows:
+    """Invert a segment-id array into padded per-segment obs lists.
+
+    One scatter of O int32 at build time buys scatter-free reductions for
+    every later segment_sum over these ids.  ``overflow`` counts entries
+    beyond ``cap`` per segment; callers must size cap so it is zero
+    (observations per camera are bounded by the feature capacity K; track
+    lengths by the track-builder cap).
+    """
+    O = ids.shape[0]
+    if not ids_sorted:
+        order = jnp.argsort(ids)
+    else:
+        order = jnp.arange(O)
+    sid = ids[order]
+    first = jnp.searchsorted(sid, jnp.arange(n_segments), side="left")
+    pos = jnp.arange(O) - first[sid]
+    rows = jnp.full((n_segments, cap), O, jnp.int32)
+    # overflow entries have pos >= cap -> out of bounds -> dropped
+    rows = rows.at[sid, pos].set(order.astype(jnp.int32), mode="drop")
+    return SegmentRows(rows, jnp.sum((pos >= cap).astype(jnp.int32)))
+
+
+def rows_sum(x: jax.Array, sr: SegmentRows) -> jax.Array:
+    """segment_sum(x, ids) via gather + dense reduce: (O,...) -> (S,...)."""
+    xp = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    return jnp.sum(xp[sr.rows], axis=1)
+
+
+class TrackBlocks(NamedTuple):
+    """Track-blocked (dense-padded per-point) view of the coupling blocks.
+
+    The CG matvec over the raw obs table is bound by NARROW gathers/scatters
+    ((O,3)/(O,6) rows waste ~97% of each TPU memory transaction).  This view
+    pregathers Wc into a dense (P,Tp,6,3) tensor ONCE per LM iteration
+    (hoisted out of the CG loop by XLA's while-loop invariant code motion),
+    so each CG iteration is wide dense reads + batched einsums + one padded
+    camera-side reduction."""
+
+    Wg: jax.Array | None     # (P,Tp,6,3); zero blocks in padded slots
+    cam_tbl: jax.Array       # (P,Tp) int32 camera of each slot (C for pads)
+    cam_rows_flat: "SegmentRows"   # (C,Tc) indices into flattened (P*Tp)
+
+
+def build_track_blocks_static(cam_id, pt_rows: "SegmentRows", n_cams: int,
+                              tc_cap: int) -> TrackBlocks:
+    """The iteration-INVARIANT part (index tables — includes a 640k-scale
+    argsort; must be built once per solve, never inside the LM loop)."""
+    cam_pad = jnp.concatenate(
+        [cam_id, jnp.full((1,), n_cams, cam_id.dtype)])[pt_rows.rows]  # (P,Tp)
+    # flat camera-side reduction table; padded slots have id n_cams -> dropped
+    cam_rows_flat = build_rows(cam_pad.reshape(-1), n_cams, tc_cap)
+    return TrackBlocks(None, cam_pad, cam_rows_flat)
+
+
+def with_coupling(tb: TrackBlocks, Wc, pt_rows: "SegmentRows") -> TrackBlocks:
+    """Per-LM-iteration part: pregather the fresh coupling blocks (wide)."""
+    Wg = jnp.concatenate([Wc, jnp.zeros((1, 6, 3), Wc.dtype)])[pt_rows.rows]
+    return tb._replace(Wg=Wg)
+
+
+def schur_matvec_blocked(sys: "SchurSystem", tb: TrackBlocks,
+                         x: jax.Array) -> jax.Array:
+    """S @ x in the track-blocked layout (see TrackBlocks)."""
+    Ux = jnp.einsum("cij,cj->ci", sys.Ud, x)
+    xp = jnp.concatenate([x, jnp.zeros((1, 6), x.dtype)])
+    xg = xp[tb.cam_tbl]                                   # (P,Tp,6)
+    y_p = jnp.einsum("ptij,pti->pj", tb.Wg, xg)           # (P,3)
+    Vy = jnp.einsum("pij,pj->pi", sys.Vinv, y_p)          # (P,3)
+    z_pt = jnp.einsum("ptij,pj->pti", tb.Wg, Vy)          # (P,Tp,6)
+    z_c = rows_sum(z_pt.reshape(-1, 6), tb.cam_rows_flat)  # (C,6)
+    return Ux - z_c
 
 
 class SchurSystem(NamedTuple):
@@ -104,11 +248,16 @@ def reduce_system(nb: NormalBlocks, lam: jax.Array) -> SchurSystem:
     # b_red = b_c - W V^{-1} b_p   (per-obs gather + segment_sum)
     Vinv_bp = jnp.einsum("pij,pj->pi", Vinv, nb.b_p)      # (P,3)
     contrib = jnp.einsum("oij,oj->oi", nb.Wc, Vinv_bp[nb.pt_id])  # (O,6)
-    b_red = nb.b_c - jax.ops.segment_sum(contrib, nb.cam_id, num_segments=n_cams)
+    if nb.cam_rows is not None:
+        red = rows_sum(contrib, nb.cam_rows)
+    else:
+        red = jax.ops.segment_sum(contrib, nb.cam_id, num_segments=n_cams)
+    b_red = nb.b_c - red
     return SchurSystem(nb, Vinv, Ud, b_red)
 
 
-def schur_matvec(sys: SchurSystem, x: jax.Array) -> jax.Array:
+def schur_matvec(sys: SchurSystem, x: jax.Array,
+                 pt_sorted: bool = False) -> jax.Array:
     """S @ x with S = Ud - W V^{-1} W^T, matrix-free over the obs table.
 
     x: (C,6). Two segment passes: y_p = Σ_obs W^T x_cam (per point), then
@@ -117,23 +266,37 @@ def schur_matvec(sys: SchurSystem, x: jax.Array) -> jax.Array:
     nb = sys.blocks
     Ux = jnp.einsum("cij,cj->ci", sys.Ud, x)
     Wtx = jnp.einsum("oji,oj->oi", nb.Wc, x[nb.cam_id])        # (O,3)
-    y_p = jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts)  # (P,3)
+    if nb.pt_rows is not None:
+        y_p = rows_sum(Wtx, nb.pt_rows)
+    else:
+        y_p = jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts,
+                                  indices_are_sorted=pt_sorted)  # (P,3)
     Vinv_y = jnp.einsum("pij,pj->pi", sys.Vinv, y_p)
     z_o = jnp.einsum("oij,oj->oi", nb.Wc, Vinv_y[nb.pt_id])    # (O,6)
-    z_c = jax.ops.segment_sum(z_o, nb.cam_id, num_segments=sys.n_cams)
+    if nb.cam_rows is not None:
+        z_c = rows_sum(z_o, nb.cam_rows)
+    else:
+        z_c = jax.ops.segment_sum(z_o, nb.cam_id, num_segments=sys.n_cams)
     return Ux - z_c
 
 
-def solve_points(sys: SchurSystem, dx_c: jax.Array) -> jax.Array:
+def solve_points(sys: SchurSystem, dx_c: jax.Array,
+                 pt_sorted: bool = False) -> jax.Array:
     """Back-substitute point updates: dx_p = V^{-1} (b_p - W^T dx_c)."""
     nb = sys.blocks
     Wtx = jnp.einsum("oji,oj->oi", nb.Wc, dx_c[nb.cam_id])
-    rhs = nb.b_p - jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts)
+    if nb.pt_rows is not None:
+        red = rows_sum(Wtx, nb.pt_rows)
+    else:
+        red = jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts,
+                                  indices_are_sorted=pt_sorted)
+    rhs = nb.b_p - red
     return jnp.einsum("pij,pj->pi", sys.Vinv, rhs)
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def pcg(sys: SchurSystem, iters: int = 30, fixed_cam_mask=None):
+@partial(jax.jit, static_argnames=("iters", "pt_sorted"))
+def pcg(sys: SchurSystem, iters: int = 30, fixed_cam_mask=None,
+        pt_sorted: bool = False, track_blocks: TrackBlocks | None = None):
     """Preconditioned CG on the reduced camera system (block-Jacobi precond).
 
     fixed_cam_mask: (C,) bool — cameras held fixed for gauge (their updates
@@ -155,7 +318,10 @@ def pcg(sys: SchurSystem, iters: int = 30, fixed_cam_mask=None):
 
     def body(_, carry):
         x, r, z, p = carry
-        Sp = proj(schur_matvec(sys, p))
+        if track_blocks is not None:
+            Sp = proj(schur_matvec_blocked(sys, track_blocks, p))
+        else:
+            Sp = proj(schur_matvec(sys, p, pt_sorted=pt_sorted))
         rz = jnp.sum(r * z)
         alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
         x2 = x + alpha * p
@@ -191,8 +357,10 @@ class NormalBlocksK(NamedTuple):
 
 
 def assemble_with_intrinsics(Jc, Jp, Jk, r, w, cam_id, pt_id, group, cam_group,
-                             n_cams: int, n_pts: int, n_groups: int) -> NormalBlocksK:
-    base = assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts)
+                             n_cams: int, n_pts: int, n_groups: int,
+                             pt_sorted: bool = False) -> NormalBlocksK:
+    base = assemble(Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
+                    pt_sorted=pt_sorted)
     ws = w[:, None, None]
     Jk_w = Jk * ws
     Ukk_o = jnp.einsum("oik,oil->okl", Jk_w, Jk)
@@ -232,7 +400,8 @@ def reduce_system_k(nbk: NormalBlocksK, lam) -> SchurSystemK:
                         nbk.cam_group)
 
 
-def schur_matvec_k(sk: SchurSystemK, x_c: jax.Array, x_k: jax.Array):
+def schur_matvec_k(sk: SchurSystemK, x_c: jax.Array, x_k: jax.Array,
+                   pt_sorted: bool = False):
     """Matvec of the reduced system over (poses, intrinsics groups)."""
     sys = sk.sys
     nb = sys.blocks
@@ -246,7 +415,8 @@ def schur_matvec_k(sk: SchurSystemK, x_c: jax.Array, x_k: jax.Array):
     # point-mediated terms: z_p = V^{-1} (Wc^T x_c + Wk^T x_k) per point
     Wtx = jnp.einsum("oji,oj->oi", nb.Wc, x_c[nb.cam_id])
     Wtx += jnp.einsum("oji,oj->oi", sk.Wk, x_k[sk.group])
-    z_p = jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts)
+    z_p = jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sys.n_pts,
+                              indices_are_sorted=pt_sorted)
     Vz = jnp.einsum("pij,pj->pi", sys.Vinv, z_p)
     y_c -= jax.ops.segment_sum(
         jnp.einsum("oij,oj->oi", nb.Wc, Vz[nb.pt_id]), nb.cam_id,
@@ -257,16 +427,19 @@ def schur_matvec_k(sk: SchurSystemK, x_c: jax.Array, x_k: jax.Array):
     return y_c, y_k
 
 
-def solve_points_k(sk: SchurSystemK, dx_c: jax.Array, dx_k: jax.Array) -> jax.Array:
+def solve_points_k(sk: SchurSystemK, dx_c: jax.Array, dx_k: jax.Array,
+                   pt_sorted: bool = False) -> jax.Array:
     nb = sk.sys.blocks
     Wtx = jnp.einsum("oji,oj->oi", nb.Wc, dx_c[nb.cam_id])
     Wtx += jnp.einsum("oji,oj->oi", sk.Wk, dx_k[sk.group])
-    rhs = nb.b_p - jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sk.sys.n_pts)
+    rhs = nb.b_p - jax.ops.segment_sum(Wtx, nb.pt_id, num_segments=sk.sys.n_pts,
+                                       indices_are_sorted=pt_sorted)
     return jnp.einsum("pij,pj->pi", sk.sys.Vinv, rhs)
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def pcg_k(sk: SchurSystemK, iters: int = 30, fixed_cam_mask=None):
+@partial(jax.jit, static_argnames=("iters", "pt_sorted"))
+def pcg_k(sk: SchurSystemK, iters: int = 30, fixed_cam_mask=None,
+          pt_sorted: bool = False):
     """Block-Jacobi PCG on the (poses + intrinsics) reduced system."""
     Minv_c = _inv_spd(sk.sys.Ud)
     Minv_k = _inv_spd(sk.Ukk_d)
@@ -291,7 +464,7 @@ def pcg_k(sk: SchurSystemK, iters: int = 30, fixed_cam_mask=None):
 
     def body(_, carry):
         x, r, z, p = carry
-        Sp = proj(*schur_matvec_k(sk, *p))
+        Sp = proj(*schur_matvec_k(sk, *p, pt_sorted=pt_sorted))
         rz = dot(r, z)
         alpha = rz / jnp.maximum(dot(p, Sp), 1e-20)
         x2 = (x[0] + alpha * p[0], x[1] + alpha * p[1])
@@ -303,3 +476,203 @@ def pcg_k(sk: SchurSystemK, iters: int = 30, fixed_cam_mask=None):
 
     x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, z, p))
     return x[0], x[1]
+
+
+# ---------------------------------------------------------------------------
+# PLANES pipeline: all block algebra over 2D (axis, k) arrays
+# ---------------------------------------------------------------------------
+# The (O,2,6)/(O,6,3)/(P,3,3) block arrays above tile their two small minor
+# dims to (8,128)-shaped TPU tiles — 10-21x physical memory inflation
+# (f32[200000,2,6]{2,1,0:T(2,128)} occupies 204MB, not 9.6MB).  This
+# pipeline keeps every per-observation / per-point quantity as a 2D array
+# with the LARGE axis on lanes and does the 6x6/6x3/3x3 block algebra as
+# explicit component FMAs — ~4x end-to-end LM speedup at config-3 scale.
+
+class NormalBlocksP(NamedTuple):
+    U: jax.Array        # (C,6,6)  (C is small; 3D is fine here)
+    V9: jax.Array       # (P,9) row-major 3x3 point blocks — KEPT 2D
+    W18: jax.Array      # (O,18) row-major 6x3 coupling blocks — KEPT 2D
+    b_c: jax.Array      # (C,6)
+    b_p: jax.Array      # (P,3)
+    cam_id: jax.Array
+    pt_id: jax.Array
+    pt_rows: "SegmentRows | None" = None
+    cam_rows: "SegmentRows | None" = None
+
+
+def assemble_planes(Jc, Jp, r, w, cam_id, pt_id, n_cams: int, n_pts: int,
+                    pt_sorted: bool = False, pt_rows=None,
+                    cam_rows=None) -> NormalBlocksP:
+    """Normal blocks from planes-layout Jacobians (lm._jacobians_planes).
+
+    Jc: (O,12) = [du/d(w,t) | dv/d(w,t)]; Jp: (O,6) = [du/dX | dv/dX].
+    """
+    Ju = [Jc[:, a] for a in range(6)]
+    Jv = [Jc[:, 6 + a] for a in range(6)]
+    Pu = [Jp[:, a] for a in range(3)]
+    Pv = [Jp[:, 3 + a] for a in range(3)]
+    ru, rv = r[:, 0], r[:, 1]
+
+    U_o = jnp.stack([w * (Ju[a] * Ju[b] + Jv[a] * Jv[b])
+                     for a in range(6) for b in range(6)], axis=-1)   # (O,36)
+    V_o = jnp.stack([w * (Pu[a] * Pu[b] + Pv[a] * Pv[b])
+                     for a in range(3) for b in range(3)], axis=-1)   # (O,9)
+    W_o = jnp.stack([w * (Ju[a] * Pu[b] + Jv[a] * Pv[b])
+                     for a in range(6) for b in range(3)], axis=-1)   # (O,18)
+    bc_o = jnp.stack([-w * (Ju[a] * ru + Jv[a] * rv) for a in range(6)],
+                     axis=-1)                                          # (O,6)
+    bp_o = jnp.stack([-w * (Pu[b] * ru + Pv[b] * rv) for b in range(3)],
+                     axis=-1)                                          # (O,3)
+
+    if cam_rows is not None:
+        U = rows_sum(U_o, cam_rows)
+        b_c = rows_sum(bc_o, cam_rows)
+    else:
+        U = jax.ops.segment_sum(U_o, cam_id, num_segments=n_cams)
+        b_c = jax.ops.segment_sum(bc_o, cam_id, num_segments=n_cams)
+    if pt_rows is not None:
+        V9 = rows_sum(V_o, pt_rows)
+        b_p = rows_sum(bp_o, pt_rows)
+    else:
+        V9 = jax.ops.segment_sum(V_o, pt_id, num_segments=n_pts,
+                                 indices_are_sorted=pt_sorted)
+        b_p = jax.ops.segment_sum(bp_o, pt_id, num_segments=n_pts,
+                                  indices_are_sorted=pt_sorted)
+    return NormalBlocksP(U.reshape(n_cams, 6, 6), V9, W_o, b_c, b_p,
+                         cam_id, pt_id, pt_rows, cam_rows)
+
+
+def _damp_inv3_planes(V9: jax.Array, lam, eps: float = 1e-8) -> jax.Array:
+    """(P,9) damped 3x3 inverse, fully component-wise: Vinv9 (P,9)."""
+    a = V9[:, 0] * (1.0 + lam) + 1e-10 + eps
+    b = V9[:, 1]
+    c = V9[:, 2]
+    d = V9[:, 3]
+    e = V9[:, 4] * (1.0 + lam) + 1e-10 + eps
+    f = V9[:, 5]
+    g = V9[:, 6]
+    h = V9[:, 7]
+    i = V9[:, 8] * (1.0 + lam) + 1e-10 + eps
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([A, B, Cc, D, E, F, G, H, I], axis=-1) / det[:, None]
+
+
+def _mv3_planes(M9: jax.Array, v: jax.Array) -> jax.Array:
+    """(N,9) 3x3 blocks @ (N,3) -> (N,3), component-wise."""
+    return jnp.stack([
+        M9[:, 0] * v[:, 0] + M9[:, 1] * v[:, 1] + M9[:, 2] * v[:, 2],
+        M9[:, 3] * v[:, 0] + M9[:, 4] * v[:, 1] + M9[:, 5] * v[:, 2],
+        M9[:, 6] * v[:, 0] + M9[:, 7] * v[:, 1] + M9[:, 8] * v[:, 2],
+    ], axis=-1)
+
+
+def _W_t_x(W18: jax.Array, xg: jax.Array) -> jax.Array:
+    """(O,18) 6x3 blocks^T @ (O,6) -> (O,3)."""
+    return jnp.stack([
+        sum(W18[:, a * 3 + j] * xg[:, a] for a in range(6)) for j in range(3)
+    ], axis=-1)
+
+
+def _W_x(W18: jax.Array, v: jax.Array) -> jax.Array:
+    """(O,18) 6x3 blocks @ (O,3) -> (O,6)."""
+    return jnp.stack([
+        sum(W18[:, a * 3 + j] * v[:, j] for j in range(3)) for a in range(6)
+    ], axis=-1)
+
+
+class SchurSystemP(NamedTuple):
+    blocks: NormalBlocksP
+    Vinv9: jax.Array      # (P,9)
+    Ud: jax.Array         # (C,6,6)
+    b_red: jax.Array      # (C,6)
+
+    @property
+    def n_cams(self) -> int:
+        return self.Ud.shape[0]
+
+    @property
+    def n_pts(self) -> int:
+        return self.Vinv9.shape[0]
+
+
+def _reduce_pt(nb, x_o, pt_sorted: bool):
+    if nb.pt_rows is not None:
+        return rows_sum(x_o, nb.pt_rows)
+    return jax.ops.segment_sum(x_o, nb.pt_id, num_segments=nb.V9.shape[0],
+                               indices_are_sorted=pt_sorted)
+
+
+def _reduce_cam(nb, x_o):
+    if nb.cam_rows is not None:
+        return rows_sum(x_o, nb.cam_rows)
+    return jax.ops.segment_sum(x_o, nb.cam_id, num_segments=nb.U.shape[0])
+
+
+def reduce_system_planes(nb: NormalBlocksP, lam,
+                         pt_sorted: bool = False) -> SchurSystemP:
+    Ud = _damp(nb.U, lam)
+    Vinv9 = _damp_inv3_planes(nb.V9, lam)
+    Vinv_bp = _mv3_planes(Vinv9, nb.b_p)                 # (P,3)
+    contrib = _W_x(nb.W18, Vinv_bp[nb.pt_id])            # (O,6)
+    b_red = nb.b_c - _reduce_cam(nb, contrib)
+    return SchurSystemP(nb, Vinv9, Ud, b_red)
+
+
+def schur_matvec_planes(sys: SchurSystemP, x: jax.Array,
+                        pt_sorted: bool = False) -> jax.Array:
+    nb = sys.blocks
+    Ux = jnp.einsum("cij,cj->ci", sys.Ud, x)
+    Wtx = _W_t_x(nb.W18, x[nb.cam_id])                   # (O,3)
+    y_p = _reduce_pt(nb, Wtx, pt_sorted)                 # (P,3)
+    Vy = _mv3_planes(sys.Vinv9, y_p)
+    z_o = _W_x(nb.W18, Vy[nb.pt_id])                     # (O,6)
+    return Ux - _reduce_cam(nb, z_o)
+
+
+def solve_points_planes(sys: SchurSystemP, dx_c: jax.Array,
+                        pt_sorted: bool = False) -> jax.Array:
+    nb = sys.blocks
+    Wtx = _W_t_x(nb.W18, dx_c[nb.cam_id])
+    rhs = nb.b_p - _reduce_pt(nb, Wtx, pt_sorted)
+    return _mv3_planes(sys.Vinv9, rhs)
+
+
+@partial(jax.jit, static_argnames=("iters", "pt_sorted"))
+def pcg_planes(sys: SchurSystemP, iters: int = 30, fixed_cam_mask=None,
+               pt_sorted: bool = False):
+    """Block-Jacobi PCG on the planes-layout reduced camera system."""
+    Minv = _inv_spd(sys.Ud)
+
+    def proj(x):
+        if fixed_cam_mask is None:
+            return x
+        return jnp.where(fixed_cam_mask[:, None], 0.0, x)
+
+    b = proj(sys.b_red)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = proj(jnp.einsum("cij,cj->ci", Minv, r0))
+
+    def body(_, carry):
+        x, r, z, p = carry
+        Sp = proj(schur_matvec_planes(sys, p, pt_sorted=pt_sorted))
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        x2 = x + alpha * p
+        r2 = r - alpha * Sp
+        z2 = proj(jnp.einsum("cij,cj->ci", Minv, r2))
+        beta = jnp.sum(r2 * z2) / jnp.maximum(rz, 1e-20)
+        return (x2, r2, z2, z2 + beta * p)
+
+    x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, z0))
+    return x, jnp.sqrt(jnp.sum(r * r))

@@ -150,3 +150,48 @@ def test_ba_noise_floor(rng):
     rmse = lm.reprojection_rmse(intr, k_idx, R1, t1, X1, cam_id, pt_id, jnp.asarray(uv), jnp.asarray(w))
     # Optimum RMSE should be at the noise floor (not above ~1.2x noise).
     assert float(rmse) < 1.2 * noise
+
+
+def test_planes_pipeline_parity():
+    """Analytic planes Jacobians + planes Schur path == jacfwd/einsum path."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfmx.core import se3
+    from sfmx.solvers import lm
+
+    rng = np.random.default_rng(3)
+    C, P, O = 6, 60, 400
+    intr = jnp.asarray([[300.0, 310.0, 160, 120, -0.05, 0.01, 0.0]], jnp.float32)
+    k_idx = jnp.zeros(C, jnp.int32)
+    R = jnp.stack([se3.so3_exp(jnp.asarray(rng.normal(0, 0.2, 3), jnp.float32))
+                   for _ in range(C)])
+    t = jnp.asarray(rng.normal(0, 0.5, (C, 3)), jnp.float32) + jnp.asarray([0, 0, 6.0])
+    X = jnp.asarray(rng.uniform(-2, 2, (P, 3)), jnp.float32)
+    cam_id = jnp.asarray(rng.integers(0, C, O), jnp.int32)
+    pt_id = jnp.asarray(rng.integers(0, P, O), jnp.int32)
+    Xc = X[pt_id] + t[cam_id]
+    uv = jnp.einsum("oij,oj->oi", R[cam_id], X[pt_id])
+    Xcam = uv + t[cam_id]
+    proj = Xcam[:, :2] / Xcam[:, 2:3] * 300.0 + jnp.asarray([160.0, 120.0])
+    proj = proj + 0.5 * jnp.asarray(rng.normal(0, 1, (O, 2)), jnp.float32)
+    w = jnp.ones(O, jnp.float32)
+    fixed = jnp.zeros(C, bool).at[0].set(True)
+
+    # jacobian parity
+    r0, Jc0, Jp0 = lm._jacobians(intr, k_idx, R, t, X, cam_id, pt_id, proj)
+    r1, Jc1, Jp1 = lm._jacobians_planes(intr, k_idx, R, t, X, cam_id, pt_id, proj)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Jc0).reshape(O, 12), np.asarray(Jc1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jp0).reshape(O, 6), np.asarray(Jp1),
+                               atol=1e-4)
+
+    # full-solve parity: same final cost trajectory to tolerance
+    outA = lm.ba_solve(intr, k_idx, R, t, X, cam_id, pt_id, proj, w, fixed,
+                       iters=8, cg_iters=20)
+    outB = lm.ba_solve(intr, k_idx, R, t, X, cam_id, pt_id, proj, w, fixed,
+                       iters=8, cg_iters=20, tp_cap=32, tc_cap=128)
+    cA, cB = np.asarray(outA[3]), np.asarray(outB[3])
+    assert cB[-1] <= cA[0], "planes path failed to reduce cost"
+    np.testing.assert_allclose(cA[-1], cB[-1], rtol=0.05)
