@@ -54,7 +54,6 @@ def cmd_localize(args):
     import jax
     import jax.numpy as jnp
 
-    from ..kernels import features
     from ..localize import localize_query
     from .config import load_config
     from .ingest import load_directory
@@ -63,11 +62,10 @@ def cmd_localize(args):
     scene, lmap = _load_lmap(args.map)
     ws = load_directory(args.images, resize_to=cfg.resize_to,
                         focal_factor=cfg.focal_factor)
-    feats = features.detect_and_describe(
-        jnp.asarray(ws.images, jnp.float32),
-        features.ScaleSpaceConfig(sigma_levels=tuple(cfg.features.sigma_levels)),
-        max_keypoints=cfg.features.max_keypoints, threshold=cfg.features.threshold,
-    )
+    from .pipeline import extract_features
+
+    # queries MUST use the same extractor family the map was built with
+    feats = extract_features(np.asarray(ws.images, np.float32), cfg)
     results = []
     for i in range(len(ws.images)):
         res = localize_query(

@@ -63,17 +63,32 @@ def build_pairs(n_images: int, mode: str, window: int) -> np.ndarray:
 
 
 def extract_features(images: np.ndarray, cfg: PipelineConfig):
+    """Extractor-selectable (C2 parity: reference offers SIFT or AKAZE)."""
     import jax.numpy as jnp
 
     from ..kernels import features
 
-    sscfg = features.ScaleSpaceConfig(sigma_levels=tuple(cfg.features.sigma_levels))
-    with LOGGER.scope("extract", n_images=len(images)) as out:
-        feats = features.detect_and_describe(
-            jnp.asarray(images, jnp.float32), sscfg,
-            max_keypoints=cfg.features.max_keypoints,
-            threshold=cfg.features.threshold,
-        )
+    with LOGGER.scope("extract", n_images=len(images),
+                      extractor=cfg.features.extractor) as out:
+        if cfg.features.extractor == "sift":
+            from ..kernels import sift
+
+            thr = cfg.features.threshold
+            feats = sift.detect_and_describe_sift(
+                jnp.asarray(images, jnp.float32),
+                max_keypoints=cfg.features.max_keypoints,
+                # the AKAZE det-Hessian default is meaningless for |DoG|
+                threshold=(0.015 if thr < 1e-4 else thr),
+                oriented=cfg.features.oriented,
+            )
+        else:
+            sscfg = features.ScaleSpaceConfig(
+                sigma_levels=tuple(cfg.features.sigma_levels))
+            feats = features.detect_and_describe(
+                jnp.asarray(images, jnp.float32), sscfg,
+                max_keypoints=cfg.features.max_keypoints,
+                threshold=cfg.features.threshold,
+            )
         out["keypoints"] = int(np.asarray(feats.kp.mask).sum())
     return feats
 
