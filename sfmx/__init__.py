@@ -30,3 +30,7 @@ import jax as _jax
 # to full-f32 matmuls; the few throughput-bound GEMMs (descriptor matching,
 # retrieval) opt back in to bf16 explicitly at their call sites.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Debug mode (SURVEY §5.2): SFMX_DEBUG=1 traps NaNs at the producing op and
+# arms checkify wrappers; see sfmx.utils.debug.
+from .utils import debug as _debug  # noqa: E402  (reads SFMX_DEBUG at import)

@@ -33,12 +33,32 @@ class ServiceStats:
     batches: int = 0
     total_latency_ms: float = 0.0
     total_batch_size: int = 0
+    # ring buffer of recent latencies for percentile export (§5.5)
+    recent_latencies: list = dataclasses.field(default_factory=list)
+    _recent_cap: int = 1024
+
+    def record_latency(self, ms: float):
+        self.requests += 1
+        self.total_latency_ms += ms
+        if len(self.recent_latencies) >= self._recent_cap:
+            self.recent_latencies.pop(0)
+        self.recent_latencies.append(ms)
 
     def snapshot(self):
+        lat = sorted(self.recent_latencies)
+
+        def pct(p):
+            if not lat:
+                return None
+            return lat[min(len(lat) - 1, int(p * len(lat)))]
+
         return {
             "requests": self.requests,
             "batches": self.batches,
             "mean_latency_ms": self.total_latency_ms / max(self.requests, 1),
+            "p50_latency_ms": pct(0.50),
+            "p95_latency_ms": pct(0.95),
+            "p99_latency_ms": pct(0.99),
             "mean_batch_size": self.total_batch_size / max(self.batches, 1),
         }
 
@@ -72,8 +92,7 @@ class LocalizationService:
         await self._queue.put((map_id, q_desc, q_uv, q_mask, prior, fut))
         out = await fut
         dt = (time.perf_counter() - t0) * 1e3
-        self.stats.requests += 1
-        self.stats.total_latency_ms += dt
+        self.stats.record_latency(dt)
         out["latency_ms"] = dt
         return out
 

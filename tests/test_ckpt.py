@@ -1,5 +1,6 @@
 """BA checkpoint/resume + fault injection (SURVEY §5.3)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sfmx.solvers import ba_ckpt, lm
@@ -54,3 +55,74 @@ def test_ckpt_roundtrip(tmp_path):
     R2, t2, X2, lam, it = ba_ckpt.load_ckpt(p)
     np.testing.assert_array_equal(np.asarray(R2), R)
     assert lam == np.float32(3e-4) and it == 7
+
+
+@pytest.mark.slow
+def test_sigkill_fault_injection(tmp_path):
+    """Real fault injection (SURVEY §5.3): SIGKILL a BA worker mid-solve,
+    restart it, assert it resumes from the checkpoint and converges."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    worker = textwrap.dedent("""
+        import os, sys, time
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import numpy as np
+        import sfmx.solvers.ba_ckpt as bc
+        from tests.test_ckpt import _problem
+
+        ckpt = sys.argv[1]
+        slow = len(sys.argv) > 2 and sys.argv[2] == "slow"
+        orig_save = bc.save_ckpt
+        def save_and_maybe_stall(*a, **kw):
+            orig_save(*a, **kw)
+            if slow:
+                print("CKPT_WRITTEN", flush=True)
+                time.sleep(60)   # window for the kill
+        bc.save_ckpt = save_and_maybe_stall
+        args = _problem()
+        R, t, X, costs, ran = bc.ba_solve_checkpointed(
+            *args, total_iters=12, ckpt_every=4, ckpt_path=ckpt, cg_iters=10)
+        c = np.asarray(costs)
+        print("RAN", ran, "FIRST", float(c[0]), "FINAL", float(c[-1]), flush=True)
+    """)
+    script = tmp_path / "worker.py"
+    script.write_text(worker)
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+                "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))})
+    ckpt = str(tmp_path / "ba.ckpt.npz")
+
+    # run 1: stalls after the first checkpoint write; SIGKILL it there
+    p = subprocess.Popen([sys.executable, str(script), ckpt, "slow"], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    t0 = time.time()
+    line = ""
+    while time.time() - t0 < 240:
+        line = p.stdout.readline()
+        if "CKPT_WRITTEN" in line:
+            break
+    try:
+        assert "CKPT_WRITTEN" in line, "worker never wrote a checkpoint"
+        assert os.path.exists(ckpt)
+    finally:
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=30)
+
+    # run 2: must resume from the checkpoint (ran < 12) and finish
+    out = subprocess.run([sys.executable, str(script), ckpt], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    toks = out.stdout.split()
+    ran = int(toks[toks.index("RAN") + 1])
+    first = float(toks[toks.index("FIRST") + 1])
+    final = float(toks[toks.index("FINAL") + 1])
+    assert ran == 8, f"did not resume from checkpoint: ran {ran}"
+    assert np.isfinite(final) and final <= first, (first, final)
