@@ -19,16 +19,33 @@ def cmd_build_map(args):
     from .pipeline import build_map
 
     cfg = load_config(args.config, args.override or [])
-    if args.video:
-        ws = load_video(args.images, every_n=args.every_n, resize_to=cfg.resize_to,
-                        focal_factor=cfg.focal_factor)
+    if args.stream and not args.video:
+        # pipelined decode‖extract; never holds the full image set in host RAM
+        from .ingest import default_intrinsics, list_images
+        from .pipeline import extract_features_streaming
+
+        paths = [str(p) for p in list_images(args.images)]
+        feats, _ = extract_features_streaming(
+            paths, cfg, chunk=args.chunk, resize_to=cfg.resize_to)
+        W, H = cfg.resize_to
+        intr = default_intrinsics(W, H, cfg.focal_factor)[None]
+        cam_k = np.zeros(len(paths), np.int32)
+        scene, feats, tt, stats = build_map(
+            None, intr, cam_k, cfg, workdir=args.workdir, feats=feats,
+            stage_seed=";".join(paths))
+        image_paths = paths
     else:
-        ws = load_directory(args.images, resize_to=cfg.resize_to,
+        if args.video:
+            ws = load_video(args.images, every_n=args.every_n, resize_to=cfg.resize_to,
                             focal_factor=cfg.focal_factor)
-    scene, feats, tt, stats = build_map(ws.images, ws.intrinsics, ws.cam_k, cfg,
-                                        workdir=args.workdir)
-    extra = {"image_paths": ws.image_paths, "stats": {k: v for k, v in stats.items()
-                                                       if isinstance(v, (int, float, list))}}
+        else:
+            ws = load_directory(args.images, resize_to=cfg.resize_to,
+                                focal_factor=cfg.focal_factor)
+        scene, feats, tt, stats = build_map(ws.images, ws.intrinsics, ws.cam_k, cfg,
+                                            workdir=args.workdir)
+        image_paths = ws.image_paths
+    extra = {"image_paths": image_paths, "stats": {k: v for k, v in stats.items()
+                                                   if isinstance(v, (int, float, list))}}
     save_scene(args.output, scene, extra=extra)
     # persist per-feature descriptors + obs_feat for localization-map building
     np.savez_compressed(
@@ -177,6 +194,9 @@ def main(argv=None):
     b.add_argument("--video", action="store_true")
     b.add_argument("--every-n", type=int, default=10)
     b.add_argument("--workdir", default=None, help="stage-cache directory")
+    b.add_argument("--stream", action="store_true",
+                   help="pipelined decode‖extract (bounded host memory)")
+    b.add_argument("--chunk", type=int, default=16, help="streaming chunk size")
     b.add_argument("--config", default=None)
     b.add_argument("--override", "-D", action="append", help="key=value")
     b.set_defaults(fn=cmd_build_map)

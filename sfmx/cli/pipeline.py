@@ -62,35 +62,74 @@ def build_pairs(n_images: int, mode: str, window: int) -> np.ndarray:
     raise ValueError(f"unknown pair mode {mode}")
 
 
-def extract_features(images: np.ndarray, cfg: PipelineConfig):
-    """Extractor-selectable (C2 parity: reference offers SIFT or AKAZE)."""
+def _extract_raw(images: np.ndarray, cfg: PipelineConfig):
+    """Extractor dispatch without any host sync (safe inside async pipelines)."""
     import jax.numpy as jnp
 
     from ..kernels import features
 
+    if cfg.features.extractor == "sift":
+        from ..kernels import sift
+
+        thr = cfg.features.threshold
+        return sift.detect_and_describe_sift(
+            jnp.asarray(images, jnp.float32),
+            max_keypoints=cfg.features.max_keypoints,
+            # the AKAZE det-Hessian default is meaningless for |DoG|
+            threshold=(0.015 if thr < 1e-4 else thr),
+            oriented=cfg.features.oriented,
+        )
+    sscfg = features.ScaleSpaceConfig(
+        sigma_levels=tuple(cfg.features.sigma_levels))
+    return features.detect_and_describe(
+        jnp.asarray(images, jnp.float32), sscfg,
+        max_keypoints=cfg.features.max_keypoints,
+        threshold=cfg.features.threshold,
+    )
+
+
+def extract_features(images: np.ndarray, cfg: PipelineConfig):
+    """Extractor-selectable (C2 parity: reference offers SIFT or AKAZE)."""
     with LOGGER.scope("extract", n_images=len(images),
                       extractor=cfg.features.extractor) as out:
-        if cfg.features.extractor == "sift":
-            from ..kernels import sift
-
-            thr = cfg.features.threshold
-            feats = sift.detect_and_describe_sift(
-                jnp.asarray(images, jnp.float32),
-                max_keypoints=cfg.features.max_keypoints,
-                # the AKAZE det-Hessian default is meaningless for |DoG|
-                threshold=(0.015 if thr < 1e-4 else thr),
-                oriented=cfg.features.oriented,
-            )
-        else:
-            sscfg = features.ScaleSpaceConfig(
-                sigma_levels=tuple(cfg.features.sigma_levels))
-            feats = features.detect_and_describe(
-                jnp.asarray(images, jnp.float32), sscfg,
-                max_keypoints=cfg.features.max_keypoints,
-                threshold=cfg.features.threshold,
-            )
+        feats = _extract_raw(images, cfg)
         out["keypoints"] = int(np.asarray(feats.kp.mask).sum())
     return feats
+
+
+def extract_features_streaming(paths, cfg: PipelineConfig, *,
+                               chunk: int = 16, workers: int = 8,
+                               resize_to=(640, 480)):
+    """Pipelined C1→C2: host threads decode chunk i+1 while the device
+    extracts chunk i (SURVEY §7.4 host↔device overlap).
+
+    One jitted executable serves every chunk (the last chunk is zero-padded
+    to ``chunk``), and nothing blocks until the final concatenation, so JAX
+    async dispatch overlaps decode, H2D transfer, and extraction.  Memory on
+    host stays O(chunk); per-chunk features accumulate on device.
+    Returns ``(feats, orig_sizes)`` identical (minus padding) to decoding
+    everything up front and calling :func:`extract_features`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import ingest
+
+    outs, sizes, total = [], [], 0
+    with LOGGER.scope("extract_stream", chunk=chunk,
+                      extractor=cfg.features.extractor) as log:
+        for imgs, orig in ingest.iter_decoded_chunks(
+                paths, resize_to=resize_to, chunk=chunk, workers=workers):
+            b = imgs.shape[0]
+            if b < chunk:  # pad the tail chunk to reuse the compiled executable
+                imgs = np.concatenate(
+                    [imgs, np.zeros((chunk - b, *imgs.shape[1:]), imgs.dtype)])
+            outs.append(extract_features(imgs, cfg))
+            sizes.append(orig)
+            total += b
+        feats = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:total], *outs)
+        log["n_images"] = total
+    return feats, np.concatenate(sizes)
 
 
 def match_images(feats, pairs: np.ndarray, cfg: PipelineConfig):
@@ -107,25 +146,35 @@ def match_images(feats, pairs: np.ndarray, cfg: PipelineConfig):
     return res
 
 
-def build_map(images: np.ndarray, intrinsics: np.ndarray, cam_k: np.ndarray,
-              cfg: PipelineConfig, workdir=None):
-    """Full map build; returns (scene, feats, track_table, stats)."""
+def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarray,
+              cfg: PipelineConfig, workdir=None, *, feats=None, stage_seed=""):
+    """Full map build; returns (scene, feats, track_table, stats).
+
+    ``images=None`` with precomputed ``feats`` (from
+    :func:`extract_features_streaming`) runs the build without ever holding
+    the full image set in host memory; ``stage_seed`` then keys the stage
+    cache (e.g. a hash of the image paths).
+    """
     from ..recon import tracks as tracks_mod
     from ..recon.incremental import reconstruct
 
+    n_images = len(cam_k)
     cache = StageCache(workdir)
-    feats = cache.get_or_run(
-        "extract", _stage_key("extract", images, cfg.features), lambda: extract_features(images, cfg)
-    )
-    pairs = build_pairs(len(images), cfg.match.pair_mode, cfg.match.window)
+    if feats is None:
+        feats = cache.get_or_run(
+            "extract", _stage_key("extract", images, cfg.features),
+            lambda: extract_features(images, cfg),
+        )
+    pairs = build_pairs(n_images, cfg.match.pair_mode, cfg.match.window)
+    key_basis = images if images is not None else stage_seed
     res = cache.get_or_run(
-        "match", _stage_key("match", images, cfg.features, cfg.match),
+        "match", _stage_key("match", key_basis, cfg.features, cfg.match),
         lambda: match_images(feats, pairs, cfg),
     )
     with LOGGER.scope("tracks") as out:
         tt = tracks_mod.build_tracks(
             pairs, np.asarray(res.idx), np.asarray(res.valid),
-            len(images), cfg.features.max_keypoints,
+            n_images, cfg.features.max_keypoints,
         )
         out["tracks"] = tt.n_tracks
     with LOGGER.scope("reconstruct") as out:

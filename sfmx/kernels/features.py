@@ -309,7 +309,13 @@ def detect(levels: jax.Array, resp: jax.Array, cfg: ScaleSpaceConfig, *,
         masked_p, -jnp.inf, jax.lax.max, (1, L, 2, 2), (1, L, 2, 2), "VALID"
     )  # (B,1,Hp/2,Wp/2)
     RW = Wp // 2
-    vals, ridx = jax.lax.top_k(reduced.reshape(B, -1), max_keypoints)
+    # tiny images can have fewer reduce blocks than the keypoint capacity
+    k_red = min(max_keypoints, (Hp // 2) * RW)
+    vals, ridx = jax.lax.top_k(reduced.reshape(B, -1), k_red)
+    if k_red < max_keypoints:
+        pad = max_keypoints - k_red
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        ridx = jnp.pad(ridx, ((0, 0), (0, pad)))
     mask = jnp.isfinite(vals) & (vals > threshold)
     ry, rx = ridx // RW, ridx % RW
     # gather the (L,2,2) source block of every winner, argmax within

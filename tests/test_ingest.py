@@ -3,7 +3,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from sfmx.cli.ingest import default_intrinsics, load_directory, load_video
+from sfmx.cli.ingest import (default_intrinsics, iter_decoded_chunks,
+                             list_images, load_directory, load_video)
 
 
 @pytest.fixture()
@@ -37,6 +38,34 @@ def test_default_intrinsics():
     k = default_intrinsics(640, 480)
     assert k[0] == k[1] == pytest.approx(768.0)
     assert (k[2], k[3]) == (320.0, 240.0)
+
+
+def test_iter_decoded_chunks_parity(image_dir):
+    """Streaming decode yields the same pixels/order as the eager loader."""
+    ws = load_directory(image_dir, resize_to=(32, 24))
+    chunks = list(iter_decoded_chunks(list_images(image_dir), resize_to=(32, 24),
+                                      chunk=3, workers=2, prefetch=1))
+    assert [c[0].shape[0] for c in chunks] == [3, 1]  # tail chunk is partial
+    streamed = np.concatenate([c[0] for c in chunks])
+    np.testing.assert_array_equal(streamed, ws.images)
+    np.testing.assert_array_equal(np.concatenate([c[1] for c in chunks]),
+                                  ws.orig_sizes)
+
+
+def test_extract_features_streaming_parity(image_dir):
+    """Pipelined decode‖extract matches the eager extract exactly."""
+    from sfmx.cli.config import PipelineConfig
+    from sfmx.cli.pipeline import extract_features, extract_features_streaming
+
+    cfg = PipelineConfig()
+    ws = load_directory(image_dir, resize_to=(32, 24))
+    eager = extract_features(ws.images, cfg)
+    feats, sizes = extract_features_streaming(
+        list_images(image_dir), cfg, chunk=3, resize_to=(32, 24))
+    assert feats.desc.shape[0] == 4 and len(sizes) == 4
+    np.testing.assert_allclose(np.asarray(feats.desc), np.asarray(eager.desc))
+    np.testing.assert_array_equal(np.asarray(feats.kp.mask),
+                                  np.asarray(eager.kp.mask))
 
 
 def test_load_video(tmp_path):
