@@ -137,11 +137,19 @@ def match_images(feats, pairs: np.ndarray, cfg: PipelineConfig):
 
     from ..kernels import matching
 
-    with LOGGER.scope("match", n_pairs=len(pairs)) as out:
-        res = matching.match_pairs_float(
-            feats.desc, feats.kp.mask, jnp.asarray(pairs),
-            ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
-        )
+    with LOGGER.scope("match", n_pairs=len(pairs),
+                      binary=cfg.match.binary) as out:
+        if cfg.match.binary:
+            # the reference's primary AKAZE path: Hamming on M-LDB bits
+            res = matching.match_pairs_hamming(
+                feats.desc_bits, feats.kp.mask, jnp.asarray(pairs),
+                ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
+            )
+        else:
+            res = matching.match_pairs_float(
+                feats.desc, feats.kp.mask, jnp.asarray(pairs),
+                ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
+            )
         out["matches"] = int(np.asarray(res.valid).sum())
     return res
 

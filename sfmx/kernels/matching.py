@@ -102,6 +102,22 @@ def match_pairs_float(descs: jax.Array, masks: jax.Array, pairs: jax.Array, *,
     return jax.vmap(one)(pairs)  # fields have leading (Np,) axis
 
 
+@partial(jax.jit, static_argnames=("ratio", "cross_check"))
+def match_pairs_hamming(bits: jax.Array, masks: jax.Array, pairs: jax.Array, *,
+                        ratio: float = 0.8, cross_check: bool = True) -> MatchResult:
+    """Batched Hamming matching over a pair list: bits (C,K,W) uint32.
+
+    The binary analog of :func:`match_pairs_float` — the reference's primary
+    AKAZE path matches binary M-LDB descriptors (SURVEY C2/C3).
+    """
+    def one(pair):
+        a, b = pair[0], pair[1]
+        return match_hamming(bits[a], bits[b], masks[a], masks[b],
+                             ratio=ratio, cross_check=cross_check)
+
+    return jax.vmap(one)(pairs)
+
+
 def geometric_verify_pairs(
     key: jax.Array,
     xn: jax.Array,          # (C,K,2) normalized coords for all features

@@ -55,6 +55,33 @@ def test_match_float_finds_correspondences(rng):
     assert same.mean() > 0.98
 
 
+def test_match_pairs_hamming_batched(rng):
+    """Batched pair-list Hamming == per-pair match_hamming, and noisy copies
+    of the same bit pattern match back to their source."""
+    C, K, W = 4, 48, 16
+    base = rng.integers(0, 2**32, size=(K, W), dtype=np.uint32)
+    bits = np.broadcast_to(base, (C, K, W)).copy()
+    for c in range(1, C):  # flip a few bits per descriptor (binary "noise")
+        flips = rng.integers(0, 2**32, size=(K, W), dtype=np.uint32)
+        flips &= rng.integers(0, 2**32, size=(K, W), dtype=np.uint32)
+        flips &= rng.integers(0, 2**32, size=(K, W), dtype=np.uint32)
+        flips &= rng.integers(0, 2**32, size=(K, W), dtype=np.uint32)
+        bits[c] ^= flips
+    mask = np.ones((C, K), bool)
+    pairs = np.asarray([[0, 1], [1, 2], [0, 3]], np.int32)
+    res = matching.match_pairs_hamming(
+        jnp.asarray(bits), jnp.asarray(mask), jnp.asarray(pairs))
+    for p, (a, b) in enumerate(pairs):
+        one = matching.match_hamming(
+            jnp.asarray(bits[a]), jnp.asarray(bits[b]),
+            jnp.asarray(mask[a]), jnp.asarray(mask[b]))
+        np.testing.assert_array_equal(np.asarray(res.idx[p]), np.asarray(one.idx))
+        np.testing.assert_array_equal(np.asarray(res.valid[p]), np.asarray(one.valid))
+        v = np.asarray(res.valid[p])
+        assert v.sum() > K * 0.8
+        assert (np.asarray(res.idx[p])[v] == np.arange(K)[v]).all()
+
+
 def test_match_hamming_consistency(rng):
     # random binary descriptors: matching a set against itself must be identity
     bits = rng.integers(0, 2**32, size=(64, 16), dtype=np.uint32)
