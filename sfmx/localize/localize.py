@@ -38,6 +38,7 @@ class LocalizationMap(NamedTuple):
     kf_lm: jax.Array      # (C,Kc) landmark ids observed per keyframe (-1 pad -> 0)
     kf_lm_mask: jax.Array  # (C,Kc)
     vocab: jax.Array | None = None  # (V,D) VLAD vocabulary; None = mean pooling
+    lm_bits: jax.Array | None = None  # (P,W) uint32 majority-vote M-LDB bits
 
 
 class LocalizeResult(NamedTuple):
@@ -48,11 +49,31 @@ class LocalizeResult(NamedTuple):
     center: jax.Array     # (3,) camera center in world frame
 
 
+def _majority_bits(feat_bits: np.ndarray, obs_cam, obs_feat, obs_pt,
+                   alive, P: int) -> np.ndarray:
+    """Per-landmark majority vote over packed binary observation descriptors.
+
+    The binary analog of mean-pooling float descriptors: landmark bit b is set
+    iff more than half of its observations have it set (ties -> 0).
+    """
+    W = feat_bits.shape[-1]
+    d = feat_bits[obs_cam[alive], obs_feat[alive]]         # (O,W) uint32
+    shifts = np.arange(32, dtype=np.uint32)
+    unpacked = ((d[:, :, None] >> shifts) & 1).astype(np.int32).reshape(len(d), -1)
+    cnt1 = np.zeros((P, W * 32), np.int32)
+    np.add.at(cnt1, obs_pt[alive], unpacked)
+    n = np.zeros(P, np.int32)
+    np.add.at(n, obs_pt[alive], 1)
+    maj = (2 * cnt1 > n[:, None]).reshape(P, W, 32).astype(np.uint32)
+    return np.sum(maj << shifts, axis=-1, dtype=np.uint32)
+
+
 def build_localization_map(scene: Scene, feat_desc: np.ndarray,
                            obs_feat: np.ndarray, kf_lm_cap: int = 512,
                            kp_mask: np.ndarray | None = None,
                            use_vlad: bool = True, n_words: int = 16,
-                           seed: int = 0) -> LocalizationMap:
+                           seed: int = 0,
+                           feat_bits: np.ndarray | None = None) -> LocalizationMap:
     """Aggregate per-feature descriptors into the serving map (host-side, once).
 
     Args:
