@@ -61,6 +61,14 @@ def main():
           f"in {time.time()-t0:.1f}s")
 
     intr = np.array([[FOCAL, FOCAL, W / 2, H / 2, 0, 0, 0]], np.float32)
+    t0 = time.time()
+    from sfmx.cli.config import PipelineConfig
+    from sfmx.cli.pipeline import verify_matches
+
+    res, _ = verify_matches(feats, pairs, res, intr, np.zeros(C, np.int32),
+                            PipelineConfig())
+    print(f"[verify] {int(np.asarray(res.valid).sum())} geometric inliers "
+          f"in {time.time()-t0:.1f}s")
     tt = tracks.build_tracks(pairs, np.asarray(res.idx), np.asarray(res.valid),
                              C, 512)
     print(f"[tracks] {tt.n_tracks} tracks, {len(tt.obs_cam)} observations")

@@ -25,9 +25,13 @@ class FeatureConfig:
 class MatchConfig:
     ratio: float = 0.85
     cross_check: bool = True
-    pair_mode: str = "exhaustive"   # exhaustive | window
-    window: int = 8                 # for pair_mode=window
-    geometric_verify: bool = False
+    pair_mode: str = "exhaustive"   # exhaustive | window | retrieval
+    window: int = 8                 # for pair_mode=window (also kept in retrieval)
+    retrieval_k: int = 8            # top-k retrieved pairs per image (pair_mode=retrieval)
+    geometric_verify: bool = True   # E-RANSAC filter (reference always does)
+    gv_px_thresh: float = 4.0       # Sampson threshold in pixels
+    gv_hypotheses: int = 256        # RANSAC hypotheses per pair
+    gv_min_inliers: int = 16        # drop pairs with fewer geometric inliers
     binary: bool = False            # Hamming on M-LDB bits instead of GEMM
 
 
@@ -39,6 +43,8 @@ class LocalizeConfig:
     px_thresh: float = 4.0
     sim_thresh: float = 0.75
     min_inliers: int = 12
+    binary: bool = False        # Hamming 2D-3D matching on M-LDB bits
+    ham_thresh: float = 120.0   # Hamming acceptance threshold (bits of 486)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,9 +19,16 @@ def cmd_build_map(args):
     from .pipeline import build_map
 
     cfg = load_config(args.config, args.override or [])
-    if args.stream and not args.video:
+    if args.stream and args.video:
+        raise SystemExit("--stream is directory-only; it cannot be combined "
+                         "with --video (frame extraction already streams)")
+    if args.chunk != 16 and not args.stream:
+        print("warning: --chunk has no effect without --stream", file=sys.stderr)
+    if args.stream:
         # pipelined decode‖extract; never holds the full image set in host RAM
-        from .ingest import default_intrinsics, list_images
+        import os
+
+        from .ingest import default_intrinsics, exif_focal_px, list_images
         from .pipeline import extract_features_streaming
 
         paths = [str(p) for p in list_images(args.images)]
@@ -29,10 +36,17 @@ def cmd_build_map(args):
             paths, cfg, chunk=args.chunk, resize_to=cfg.resize_to)
         W, H = cfg.resize_to
         intr = default_intrinsics(W, H, cfg.focal_factor)[None]
+        f = exif_focal_px(paths[0], W)  # same focal prior as the eager path
+        if f is not None:
+            intr[0, 0] = intr[0, 1] = f
         cam_k = np.zeros(len(paths), np.int32)
+        # cache key must reflect content, not just paths: same paths with
+        # modified files would otherwise pair stale matches with fresh features
+        evidence = ";".join(
+            f"{p}:{(st := os.stat(p)).st_size}:{st.st_mtime_ns}" for p in paths)
         scene, feats, tt, stats = build_map(
             None, intr, cam_k, cfg, workdir=args.workdir, feats=feats,
-            stage_seed=";".join(paths))
+            stage_seed=evidence)
         image_paths = paths
     else:
         if args.video:
@@ -52,18 +66,21 @@ def cmd_build_map(args):
         args.output + ".feats.npz",
         desc=np.asarray(feats.desc), kp_uv=np.asarray(feats.kp.uv),
         kp_mask=np.asarray(feats.kp.mask), obs_feat=tt.obs_feat,
+        desc_bits=np.asarray(feats.desc_bits),
     )
     print(json.dumps({"registered": stats["n_registered"], "points": stats["n_points"],
                       "output": args.output}))
 
 
-def _load_lmap(map_path: str):
+def _load_lmap(map_path: str, *, binary: bool = False):
     from ..localize import build_localization_map
     from ..mapstore import load_scene
 
     scene = load_scene(map_path)
     z = np.load(map_path + ".feats.npz")
-    lmap = build_localization_map(scene, z["desc"], z["obs_feat"])
+    bits = z["desc_bits"] if (binary and "desc_bits" in z.files) else None
+    lmap = build_localization_map(scene, z["desc"], z["obs_feat"],
+                                  feat_bits=bits)
     return scene, lmap
 
 
@@ -76,13 +93,14 @@ def cmd_localize(args):
     from .ingest import load_directory
 
     cfg = load_config(args.config, args.override or [])
-    scene, lmap = _load_lmap(args.map)
+    scene, lmap = _load_lmap(args.map, binary=cfg.localize.binary)
     ws = load_directory(args.images, resize_to=cfg.resize_to,
                         focal_factor=cfg.focal_factor)
     from .pipeline import extract_features
 
     # queries MUST use the same extractor family the map was built with
     feats = extract_features(np.asarray(ws.images, np.float32), cfg)
+    binary = cfg.localize.binary and lmap.lm_bits is not None
     results = []
     for i in range(len(ws.images)):
         res = localize_query(
@@ -92,6 +110,8 @@ def cmd_localize(args):
             k_hypotheses=cfg.localize.k_hypotheses,
             px_thresh=cfg.localize.px_thresh, sim_thresh=cfg.localize.sim_thresh,
             min_inliers=cfg.localize.min_inliers,
+            q_bits=feats.desc_bits[i] if binary else None,
+            ham_thresh=cfg.localize.ham_thresh,
         )
         results.append({
             "image": ws.image_paths[i],

@@ -62,6 +62,88 @@ def build_pairs(n_images: int, mode: str, window: int) -> np.ndarray:
     raise ValueError(f"unknown pair mode {mode}")
 
 
+def build_pairs_retrieval(feats, n_images: int, *, k: int = 8, window: int = 8,
+                          seed: int = 0, n_words: int = 16) -> np.ndarray:
+    """Retrieval-limited pair selection (SURVEY C3): VLAD global descriptors
+    propose the top-k most-similar frames per image, unioned with a temporal
+    window.  O(N·k) pairs instead of O(N²), and — unlike a pure window —
+    loop-closure pairs between revisits of the same place are proposed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..localize import retrieve
+
+    desc, mask = feats.desc, feats.kp.mask               # (C,K,D), (C,K)
+    flat = jnp.reshape(desc, (-1, desc.shape[-1]))
+    fmask = jnp.reshape(mask, (-1,))
+    stride = max(1, flat.shape[0] // 32768)              # bound vocab build cost
+    vocab = retrieve.build_vocabulary(
+        flat[::stride], fmask[::stride], jax.random.PRNGKey(seed),
+        n_words=n_words)
+    g = retrieve.vlad_encode_b(desc, mask, vocab)        # (C, V*D)
+    S = np.array(g @ g.T)  # copy: jax buffers are read-only
+    np.fill_diagonal(S, -np.inf)
+    pairs = set()
+    kk = min(k, n_images - 1)
+    for a in range(n_images):
+        for b in range(a + 1, min(a + 1 + window, n_images)):
+            pairs.add((a, b))
+        for b in np.argpartition(-S[a], kk - 1)[:kk] if kk > 0 else ():
+            b = int(b)
+            pairs.add((min(a, b), max(a, b)))
+    return np.array(sorted(pairs), np.int32).reshape(-1, 2)
+
+
+def verify_matches(feats, pairs: np.ndarray, res, intrinsics, cam_k,
+                   cfg: PipelineConfig, *, seed: int = 0, chunk: int = 256):
+    """E-RANSAC geometric filter over all matched pairs (SURVEY C3, §3.1
+    hot loop 2 — the reference always filters matches before track building).
+
+    Batched over pair chunks of static size (one compiled executable); returns
+    a MatchResult whose ``valid`` keeps only geometric inliers of pairs with
+    at least ``gv_min_inliers`` of them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import cameras
+    from ..kernels import matching
+
+    intr = np.asarray(intrinsics, np.float32)[np.asarray(cam_k)]  # (C,7)
+    xn = jax.vmap(cameras.pixel_to_normalized)(jnp.asarray(intr), feats.kp.uv)
+    f_mean = float(np.mean(intr[:, :2]))
+    thr = (cfg.match.gv_px_thresh / f_mean) ** 2
+
+    @jax.jit
+    def verify(key, p, m):
+        return matching.geometric_verify_pairs(
+            key, xn, feats.kp.mask, p, m,
+            threshold=thr, k_hypotheses=cfg.match.gv_hypotheses)
+
+    idx = np.asarray(res.idx)
+    valid = np.asarray(res.valid)
+    n_pairs = len(pairs)
+    inl_parts, cnt_parts = [], []
+    for s in range(0, n_pairs, chunk):
+        e = min(s + chunk, n_pairs)
+        pad = chunk - (e - s)
+        p = jnp.asarray(np.pad(pairs[s:e], ((0, pad), (0, 0))))
+        m = matching.MatchResult(
+            idx=jnp.asarray(np.pad(idx[s:e], ((0, pad), (0, 0)))),
+            valid=jnp.asarray(np.pad(valid[s:e], ((0, pad), (0, 0)))),
+            score=None,
+        )
+        inl, cnt = verify(jax.random.PRNGKey(seed + s), p, m)
+        inl_parts.append(np.asarray(inl)[:e - s])
+        cnt_parts.append(np.asarray(cnt)[:e - s])
+    inliers = np.concatenate(inl_parts)
+    cnt = np.concatenate(cnt_parts)
+    new_valid = valid & inliers & (cnt >= cfg.match.gv_min_inliers)[:, None]
+    return matching.MatchResult(
+        idx=res.idx, valid=jnp.asarray(new_valid), score=res.score), cnt
+
+
 def _extract_raw(images: np.ndarray, cfg: PipelineConfig):
     """Extractor dispatch without any host sync (safe inside async pipelines)."""
     import jax.numpy as jnp
@@ -124,11 +206,14 @@ def extract_features_streaming(paths, cfg: PipelineConfig, *,
             if b < chunk:  # pad the tail chunk to reuse the compiled executable
                 imgs = np.concatenate(
                     [imgs, np.zeros((chunk - b, *imgs.shape[1:]), imgs.dtype)])
-            outs.append(extract_features(imgs, cfg))
+            # _extract_raw, not extract_features: the latter's keypoint-count
+            # log forces a per-chunk host sync, serializing decode vs device
+            outs.append(_extract_raw(imgs, cfg))
             sizes.append(orig)
             total += b
         feats = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:total], *outs)
         log["n_images"] = total
+        log["keypoints"] = int(np.asarray(feats.kp.mask).sum())
     return feats, np.concatenate(sizes)
 
 
@@ -173,12 +258,28 @@ def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarr
             "extract", _stage_key("extract", images, cfg.features),
             lambda: extract_features(images, cfg),
         )
-    pairs = build_pairs(n_images, cfg.match.pair_mode, cfg.match.window)
     key_basis = images if images is not None else stage_seed
+    if cfg.match.pair_mode == "retrieval":
+        pairs = cache.get_or_run(
+            "pairs", _stage_key("pairs", key_basis, cfg.features, cfg.match),
+            lambda: build_pairs_retrieval(
+                feats, n_images, k=cfg.match.retrieval_k, window=cfg.match.window),
+        )
+    else:
+        pairs = build_pairs(n_images, cfg.match.pair_mode, cfg.match.window)
     res = cache.get_or_run(
         "match", _stage_key("match", key_basis, cfg.features, cfg.match),
         lambda: match_images(feats, pairs, cfg),
     )
+    if cfg.match.geometric_verify:
+        def _gv():
+            with LOGGER.scope("geometric_verify", n_pairs=len(pairs)) as out:
+                vres, cnt = verify_matches(feats, pairs, res, intrinsics, cam_k, cfg)
+                out["inliers"] = int(np.asarray(vres.valid).sum())
+                out["pairs_kept"] = int((cnt >= cfg.match.gv_min_inliers).sum())
+            return vres
+        res = cache.get_or_run(
+            "verify", _stage_key("verify", key_basis, cfg.features, cfg.match), _gv)
     with LOGGER.scope("tracks") as out:
         tt = tracks_mod.build_tracks(
             pairs, np.asarray(res.idx), np.asarray(res.valid),

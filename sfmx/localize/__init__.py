@@ -1,2 +1,3 @@
-from .localize import LocalizationMap, build_localization_map, localize_query  # noqa: F401
+from .localize import (LocalizationMap, build_localization_map,  # noqa: F401
+                       localize_batch, localize_query)
 from . import fusion  # noqa: F401

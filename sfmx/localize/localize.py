@@ -123,9 +123,20 @@ def build_localization_map(scene: Scene, feat_desc: np.ndarray,
     kf_lm_mask = np.zeros((C, kf_lm_cap), bool)
     for c in range(C):
         ids = np.unique(obs_pt[(obs_cam == c) & obs_alive])
-        n = min(len(ids), kf_lm_cap)
+        if len(ids) > kf_lm_cap:
+            # keep the MOST-OBSERVED landmarks (strongest tracks), not the
+            # lowest track ids np.unique happens to sort first
+            ids = ids[np.argsort(-cnt[ids], kind="stable")[:kf_lm_cap]]
+        n = len(ids)
         kf_lm[c, :n] = ids[:n]
         kf_lm_mask[c, :n] = True
+
+    lm_bits = None
+    if feat_bits is not None:
+        # binary M-LDB serving path (reference's primary AKAZE descriptors):
+        # per-landmark majority vote over packed observation bits
+        lm_bits = jnp.asarray(_majority_bits(
+            np.asarray(feat_bits), obs_cam, obs_feat, obs_pt, obs_alive, P))
 
     return LocalizationMap(
         X=scene.X,
@@ -137,6 +148,7 @@ def build_localization_map(scene: Scene, feat_desc: np.ndarray,
         kf_lm=jnp.asarray(kf_lm),
         kf_lm_mask=jnp.asarray(kf_lm_mask),
         vocab=vocab,
+        lm_bits=lm_bits,
     )
 
 
@@ -157,11 +169,18 @@ def localize_query(
     min_inliers: int = 12,
     prior_center: jax.Array | None = None,
     prior_radius: float = 0.0,
+    q_bits: jax.Array | None = None,
+    ham_thresh: float = 120.0,
 ) -> LocalizeResult:
     """Localize one query image against the map. Fully jitted; vmap for batches.
 
     prior_center/prior_radius: optional beacon-fused position prior — keyframes
     outside the radius are excluded from retrieval (C10 fusion hook).
+
+    q_bits: (K,W) packed M-LDB query bits — when both this and lmap.lm_bits
+    are present, 2D-3D matching runs on Hamming distance (the reference's
+    primary binary AKAZE path); retrieval stays on float VLAD either way.
+    ham_thresh: absolute Hamming acceptance threshold in bits (~0.25 * 486).
     """
     # --- retrieval (C8): VLAD (or mean) global scores, optional beacon gate
     if lmap.vocab is not None:
@@ -189,12 +208,21 @@ def localize_query(
     cX = lmap.X[cand]                   # (M,3)
 
     # --- 2D-3D matching: absolute-threshold + mutual best ------------------
-    sim = jnp.dot(q_desc, cdesc.T, preferred_element_type=jnp.float32)
+    binary = lmap.lm_bits is not None and q_bits is not None
+    if binary:
+        from ..kernels import matching
+
+        cbits = lmap.lm_bits[cand]                       # (M,W)
+        sim = -matching.hamming_distance(q_bits, cbits).astype(jnp.float32)
+        accept = -ham_thresh
+    else:
+        sim = jnp.dot(q_desc, cdesc.T, preferred_element_type=jnp.float32)
+        accept = sim_thresh
     sim = jnp.where(q_mask[:, None] & cand_mask[None, :], sim, NEG_INF)
     best_m = jnp.argmax(sim, axis=1)                     # (K,)
     best_s = jnp.max(sim, axis=1)
     mutual = jnp.argmax(sim, axis=0)[best_m] == jnp.arange(q_desc.shape[0])
-    corr_ok = (best_s > sim_thresh) & mutual & q_mask
+    corr_ok = (best_s > accept) & mutual & q_mask
 
     xn = cameras.pixel_to_normalized(intr, q_uv)         # (K,2)
     X3 = cX[best_m]                                      # (K,3)
@@ -227,8 +255,13 @@ def localize_query(
     return LocalizeResult(R=R, t=t, n_inliers=n_inl, confidence=conf, center=center)
 
 
-def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key, **kw):
+def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key,
+                   q_bits=None, **kw):
     """vmapped batch localization: leading axis B on q_*; shared intrinsics."""
     keys = jax.random.split(key, q_desc.shape[0])
+    if q_bits is not None and lmap.lm_bits is not None:
+        fn = lambda d, u, m, k_, b: localize_query(
+            lmap, d, u, m, intr, k_, q_bits=b, **kw)
+        return jax.vmap(fn)(q_desc, q_uv, q_mask, keys, q_bits)
     fn = lambda d, u, m, k_: localize_query(lmap, d, u, m, intr, k_, **kw)
     return jax.vmap(fn)(q_desc, q_uv, q_mask, keys)

@@ -1,7 +1,8 @@
 """ctypes bindings for the C++ track builder (native/tracks.cpp).
 
-Raises ImportError if the shared object hasn't been built
-(`python native/build.py`); callers fall back to the numpy implementation.
+Builds the shared object on demand (the .so is not checked into git);
+raises ImportError if no compiler is available — callers fall back to the
+numpy implementation.
 """
 from __future__ import annotations
 
@@ -11,6 +12,18 @@ from pathlib import Path
 import numpy as np
 
 _SO = Path(__file__).parent / "_sfmx_native.so"
+_SRC = Path(__file__).resolve().parents[2] / "native" / "tracks.cpp"
+if _SRC.exists() and (
+        not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime):
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["g++", "-std=c++17", "-shared", "-fPIC", "-O3", "-DNDEBUG",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=120)
+    except Exception as e:  # no compiler / failed build -> numpy fallback
+        raise ImportError(f"native build failed: {e}") from e
 if not _SO.exists():
     raise ImportError(f"{_SO} not built (run: python native/build.py)")
 
