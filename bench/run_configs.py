@@ -119,17 +119,20 @@ def config3():
 
 
 def config4():
-    from sfmx.dist import dist_ba, mesh as meshlib
-    from sfmx.mapstore.partition import partition_trajectory, reorder_obs_by_block
+    """Point-sharded distributed BA (dist.block_ba): each device owns 1/n of
+    the cameras, points, and observations; only the covisibility halo rides
+    the links (ring reduce-scatter + all_gather of the boundary set)."""
+    from sfmx.dist import block_ba, mesh as meshlib
+    from sfmx.dist.block_layout import build_block_layout, scatter_cams, scatter_pts
 
     n_dev = len(jax.devices())
-    C, P = 2048, 60000
-    O = (400000 // C) * C
+    C, P = 2048, 200000
+    O = (800000 // C) * C
     rng = np.random.default_rng(1)
     # corridor covisibility: camera c sees a window of points
     cam_id = np.repeat(np.arange(C, dtype=np.int32), O // C)
-    lo = (cam_id.astype(np.int64) * (P - 80) // C).astype(np.int32)
-    pt_id = (lo + rng.integers(0, 80, O)).astype(np.int32)
+    lo = (cam_id.astype(np.int64) * (P - 300) // C).astype(np.int32)
+    pt_id = (lo + rng.integers(0, 300, O)).astype(np.int32)
     X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
     t = np.concatenate([rng.uniform(-5, 5, (C, 2)), np.full((C, 1), 20.0)], 1).astype(np.float32)
     R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
@@ -137,30 +140,32 @@ def config4():
     uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
           + 0.5 * rng.standard_normal((O, 2))).astype(np.float32)
     w = np.ones(O, np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+    intr = np.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], np.float32)
+    iters = 8
 
-    part = partition_trajectory(cam_id, pt_id, w > 0, C, P, n_dev)
-    order, cam_id, pt_id, uv, w = reorder_obs_by_block(part, cam_id, pt_id, uv, w)
-    cam_id = meshlib.pad_to_multiple(cam_id, n_dev)
-    pt_id = meshlib.pad_to_multiple(pt_id, n_dev)
-    uv = meshlib.pad_to_multiple(uv, n_dev)
-    w = meshlib.pad_to_multiple(w, n_dev)
-
-    mesh = meshlib.make_mesh("obs")
-    step = dist_ba.make_ba_step(mesh, iters=8, cg_iters=25)
-    intr = jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], jnp.float32)
-    fixed = jnp.zeros(C, bool).at[0].set(True)
-    argsba = (intr, jnp.zeros(C, jnp.int32), jnp.asarray(R), jnp.asarray(t),
-              jnp.asarray(X), jnp.asarray(cam_id), jnp.asarray(pt_id),
-              jnp.asarray(uv), jnp.asarray(w), fixed)
+    mesh = meshlib.make_mesh(block_ba.AXIS)
+    layout = build_block_layout(cam_id, pt_id, uv, w, C, P, n_dev)
+    k_l, R_l, t_l, fixed_l = scatter_cams(layout, np.zeros(C, np.int32), R, t, fixed)
+    fixed_l = fixed_l | (layout.cam_global < 0)
+    (X_l,) = scatter_pts(layout, X)
+    step = block_ba.make_block_ba_step(mesh, n_blocks=n_dev, hcap=layout.hcap,
+                                       iters=iters, cg_iters=25)
+    argsba = (jnp.asarray(intr), jnp.asarray(k_l), jnp.asarray(R_l),
+              jnp.asarray(t_l), jnp.asarray(X_l), jnp.asarray(fixed_l),
+              jnp.asarray(layout.obs_cam_l), jnp.asarray(layout.obs_pt_ext),
+              jnp.asarray(layout.obs_uv), jnp.asarray(layout.obs_w),
+              jnp.asarray(layout.halo_idx), jnp.asarray(layout.halo_mask))
     out = step(*argsba)
     jax.block_until_ready(out)
     t0 = time.time()
     out = step(*argsba)
     jax.block_until_ready(out)
     dt = time.time() - t0
-    return {"config": 4, "cams": C, "obs": O, "devices": n_dev,
-            "halo_fraction": round(part.halo_fraction(), 4),
-            "lm_iters_per_s": round(8 / dt, 2),
+    return {"config": 4, "cams": C, "points": P, "obs": O, "devices": n_dev,
+            **layout.stats(),
+            "lm_iters_per_s": round(iters / dt, 2),
             "final_cost": float(out[3][-1])}
 
 

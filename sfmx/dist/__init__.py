@@ -1,1 +1,1 @@
-from . import mesh, dist_ba  # noqa: F401
+from . import mesh, dist_ba, block_ba, block_layout, halo  # noqa: F401

@@ -1,0 +1,134 @@
+"""Point-sharded distributed BA: layout correctness + parity with the
+single-device solver on the 8-virtual-device mesh (SURVEY §4.2.4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfmx.dist import block_ba, block_layout, mesh as meshlib
+from sfmx.solvers import lm
+
+from .synthetic import make_scene
+from .test_ba import build_obs_table
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return meshlib.make_mesh(block_ba.AXIS)
+
+
+def _corridor(C=64, P=2000, obs_per_cam=60, seed=0):
+    """Corridor covisibility: camera c sees a sliding window of points —
+    small halo, the geometry block partitioning is designed for."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-2, 2, (C, 2)), np.full((C, 1), 25.0)],
+                       1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_id = np.repeat(np.arange(C, dtype=np.int32), obs_per_cam)
+    lo = (cam_id.astype(np.int64) * (P - 100) // C).astype(np.int64)
+    pt_id = (lo + rng.integers(0, 100, len(cam_id))).astype(np.int32)
+    Xc = X[pt_id] + t[cam_id]
+    uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+          + 0.3 * rng.standard_normal((len(cam_id), 2))).astype(np.float32)
+    w = np.ones(len(cam_id), np.float32)
+    intr = np.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], np.float32)
+    return intr, R, t, X, cam_id, pt_id, uv, w
+
+
+def test_block_layout_roundtrip():
+    """Every alive observation must resolve to its original camera/point."""
+    intr, R, t, X, cam_id, pt_id, uv, w = _corridor(C=16, P=300, obs_per_cam=25)
+    n_blocks = 4
+    lay = block_layout.build_block_layout(cam_id, pt_id, uv, w,
+                                          len(R), len(X), n_blocks)
+    n, cb, pb, hcap = lay.n_blocks, lay.cb, lay.pb, lay.hcap
+    # reconstruct (global cam, global pt, uv) from the block layout
+    got = []
+    halo_global = np.full(n * hcap, -1, np.int64)
+    # owner's export slot s holds local point row halo_idx[b*hcap+s]
+    for b in range(n):
+        for s in range(hcap):
+            if lay.halo_mask[b * hcap + s]:
+                halo_global[b * hcap + s] = lay.pt_global[b * pb + lay.halo_idx[b * hcap + s]]
+    for b in range(n):
+        for o in range(lay.ob):
+            i = b * lay.ob + o
+            if lay.obs_w[i] <= 0:
+                continue
+            cam_g = lay.cam_global[b * cb + lay.obs_cam_l[i]]
+            e = lay.obs_pt_ext[i]
+            if e < pb:
+                pt_g = lay.pt_global[b * pb + e]
+            else:
+                pt_g = halo_global[e - pb]
+            got.append((cam_g, pt_g, tuple(lay.obs_uv[i])))
+    want = sorted((int(c), int(p), tuple(map(float, u)))
+                  for c, p, u in zip(cam_id, pt_id, uv))
+    assert sorted(got) == want
+    # per-device point state is ~1/n of the map (obs-balanced splits can
+    # skew point ownership somewhat; bound the skew)
+    assert pb <= int(1.5 * len(X) / n_blocks) + 16
+
+
+def test_block_ba_parity_corridor(mesh8):
+    """Blocked solve must match the replicated single-device solve, with
+    per-device point arrays 1/n-sized and a small halo."""
+    intr, R, t, X, cam_id, pt_id, uv, w = _corridor()
+    C, P = len(R), len(X)
+    rng = np.random.default_rng(3)
+    X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
+    t0 = t + 0.02 * rng.standard_normal(t.shape).astype(np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+
+    R1, t1, X1, costs, stats = block_ba.ba_solve_blocked(
+        intr, np.zeros(C, np.int32), R, t0, X0, cam_id, pt_id, uv, w, fixed,
+        mesh8, iters=10, cg_iters=40)
+    assert stats["pts_per_device"] <= int(1.5 * P / 8) + 16
+    assert stats["halo_fraction"] < 0.25
+
+    R2, t2, X2, costs_ref = lm.ba_solve(
+        jnp.asarray(intr), jnp.zeros(C, jnp.int32), jnp.asarray(R),
+        jnp.asarray(t0), jnp.asarray(X0), jnp.asarray(cam_id),
+        jnp.asarray(pt_id), jnp.asarray(uv), jnp.asarray(w),
+        jnp.asarray(fixed), iters=10, cg_iters=40)
+
+    assert float(costs[-1]) < float(costs[0]) * 0.1
+    np.testing.assert_allclose(float(costs[-1]), float(costs_ref[-1]), rtol=0.05)
+    rmse = lm.reprojection_rmse(
+        jnp.asarray(intr), jnp.zeros(C, jnp.int32), R1, t1, X1,
+        jnp.asarray(cam_id), jnp.asarray(pt_id), jnp.asarray(uv), jnp.asarray(w))
+    assert float(rmse) < 0.5  # at the 0.3px noise floor
+
+
+def test_block_ba_parity_orbit(mesh8):
+    """Orbit scene: heavy cross-block covisibility (worst case for the halo)
+    still must converge to the replicated solver's basin."""
+    sc = make_scene(n_cams=8, n_points=96, noise_px=0.4)
+    cam_id, pt_id, uv, w = build_obs_table(sc)
+    C, P = 8, 96
+    intr = sc.intrinsics.astype(np.float32)[None]
+    key = jax.random.PRNGKey(0)
+    from sfmx.core import se3
+    dR = se3.so3_exp_b(0.01 * jax.random.normal(key, (C, 3)))
+    R0 = np.einsum("cij,cjk->cik", np.asarray(dR), sc.Rs.astype(np.float32))
+    t0 = sc.ts.astype(np.float32) + 0.02 * np.asarray(
+        jax.random.normal(key, (C, 3)))
+    X0 = sc.points.astype(np.float32) + 0.03 * np.asarray(
+        jax.random.normal(key, (P, 3)))
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+
+    R1, t1, X1, costs, stats = block_ba.ba_solve_blocked(
+        intr, np.zeros(C, np.int32), R0, t0, X0, cam_id, pt_id, uv, w, fixed,
+        mesh8, iters=12, cg_iters=40)
+    R2, t2, X2, costs_ref = lm.ba_solve(
+        jnp.asarray(intr), jnp.zeros(C, jnp.int32), jnp.asarray(R0),
+        jnp.asarray(t0), jnp.asarray(X0), jnp.asarray(cam_id),
+        jnp.asarray(pt_id), jnp.asarray(uv), jnp.asarray(w),
+        jnp.asarray(fixed), iters=12, cg_iters=40)
+    assert float(costs[-1]) < float(costs[0]) * 1e-2
+    np.testing.assert_allclose(float(costs[-1]), float(costs_ref[-1]), rtol=0.05)
