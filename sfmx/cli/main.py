@@ -140,14 +140,17 @@ def cmd_serve(args):
     from aiohttp import web
 
     from ..serve import LocalizationService, make_app
+    from .config import load_config
 
+    cfg = load_config(args.config, args.override or [])
     service = LocalizationService(batch_window_ms=args.batch_window_ms,
                                   max_batch=args.max_batch)
     import jax.numpy as jnp
     for spec in args.map:
         map_id, path = spec.split("=", 1) if "=" in spec else (spec, spec)
-        scene, lmap = _load_lmap(path)
-        service.load_map(map_id, lmap, jnp.asarray(np.asarray(scene.intr)[0]))
+        scene, lmap = _load_lmap(path, binary=cfg.localize.binary)
+        service.load_map(map_id, lmap, jnp.asarray(np.asarray(scene.intr)[0]),
+                         cfg=cfg)
     app = make_app(service)
     web.run_app(app, port=args.port)
 
@@ -238,6 +241,8 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--batch-window-ms", type=float, default=5.0)
     s.add_argument("--max-batch", type=int, default=32)
+    s.add_argument("--config", default=None)
+    s.add_argument("--override", "-D", action="append")
     s.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("georeference", help="align map to world control points")

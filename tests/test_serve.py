@@ -102,3 +102,81 @@ def test_http_endpoints(loaded_service):
             assert stats["requests"] >= 2
 
     asyncio.run(run())
+
+
+# ---------------------------------------------------------------------------
+# Image-in / pose-out serving (the reference's actual surface, SURVEY §3.3):
+# client uploads pixels; extraction runs server-side in the device batch.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rendered_map_service():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.room import RoomTexture, look_at, render_room, walk_poses
+
+    from sfmx.cli.config import FeatureConfig, PipelineConfig
+    from sfmx.cli.pipeline import build_map
+
+    tex = RoomTexture(seed=3)
+    poses = walk_poses(10)
+    imgs = np.stack([render_room(tex, R, eye, 320, 240, 280.0)
+                     for (R, t, eye) in poses[:8]])
+    intr = np.array([[280.0, 280.0, 160.0, 120.0, 0, 0, 0]], np.float32)
+    cfg = PipelineConfig(features=FeatureConfig(max_keypoints=384),
+                         resize_to=(320, 240), focal_factor=0.875)
+    scene, feats, tt, stats = build_map(imgs, intr, np.zeros(8, np.int32), cfg)
+    lmap = build_localization_map(scene, np.asarray(feats.desc), tt.obs_feat,
+                                  kp_mask=np.asarray(feats.kp.mask))
+    svc = LocalizationService(batch_window_ms=20.0, max_batch=8)
+    svc.load_map("room", lmap, jnp.asarray(intr[0]), cfg=cfg)
+
+    # held-out interior query pose (inside the mapped walkthrough)
+    si = 0.35
+    eye = np.array([-3.0 + 6.0 * si + 0.1, 0.2 * np.sin(6 * si) + 0.05,
+                    -3.0 + 2.0 * si])
+    yaw = np.deg2rad(25.0 + 20.0 * si + 3.0)
+    d = np.array([np.sin(yaw), 0.12 * np.sin(4 * si), np.cos(yaw)])
+    Rq, tq = look_at(eye, eye + 5.0 * d)
+    q_img = render_room(tex, Rq, eye, 320, 240, 280.0)
+    return svc, q_img
+
+
+def test_http_image_localization_batches(rendered_map_service):
+    """POST base64 images -> poses; concurrent uploads share device batches."""
+    import base64
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    svc, q_img = rendered_map_service
+    buf = io.BytesIO()
+    Image.fromarray((q_img * 255).astype(np.uint8)).save(buf, format="PNG")
+    payload = base64.b64encode(buf.getvalue()).decode()
+    app = make_app(svc)
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            rs = await asyncio.gather(*[
+                client.post("/localize", json={"map_id": "room",
+                                               "image": payload})
+                for _ in range(4)
+            ])
+            bodies = [await r.json() for r in rs]
+            for r, b in zip(rs, bodies):
+                assert r.status == 200, b
+            # malformed image -> 400, not a crash
+            r = await client.post("/localize", json={
+                "map_id": "room", "image": base64.b64encode(b"junk").decode()})
+            assert r.status == 400
+            r = await client.post("/localize", json={"map_id": "room"})
+            assert r.status == 400
+            return bodies
+
+    bodies = asyncio.run(run())
+    assert all(b["n_inliers"] >= 12 for b in bodies)
+    assert all(b["confidence"] > 0.2 for b in bodies)
+    assert svc.stats.image_requests == 4
+    assert svc.stats.batches < svc.stats.requests  # uploads were micro-batched
