@@ -3,20 +3,26 @@
 Capability parity: OpenMVG ``SfM_Data`` (views, intrinsics, poses, landmarks
 with observations) serialized via cereal to sfm_data.json/bin.  Here the
 scene is a struct-of-arrays pytree with STATIC capacities and alive masks:
-it jits, vmaps, shards over a mesh, and serializes to a versioned .npz
-(mmap-able via numpy; one array per column).
+it jits, vmaps, shards over a mesh, and serializes to a versioned columnar
+store: a directory of raw ``.npy`` files (one per column) plus a JSON
+manifest.  Raw .npy columns load with ``np.load(..., mmap_mode="r")``, so a
+multi-million-landmark map opens without materializing resident memory —
+the serving path touches only the pages it reads (format v2).  Legacy v1
+single-file ``.npz`` maps still load.
 """
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import shutil
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 @jax.tree_util.register_dataclass
@@ -75,10 +81,14 @@ def new_scene(n_cams: int, n_points: int, n_obs: int, intr: jax.Array,
 
 
 def save_scene(path: str | Path, scene: Scene, extra: dict | None = None):
-    """Versioned columnar .npz + JSON manifest sidecar."""
+    """Write the v2 columnar store: ``path/`` with raw .npy columns + manifest.
+
+    Written atomically (temp dir + rename) so a crash mid-save never leaves a
+    half-map at ``path``; a legacy v1 ``.npz`` file already at ``path`` is
+    replaced.
+    """
     path = Path(path)
     cols = {f.name: np.asarray(getattr(scene, f.name)) for f in dataclasses.fields(Scene)}
-    np.savez_compressed(path, **cols)
     manifest = {
         "format_version": FORMAT_VERSION,
         "capacities": {"cams": cols["cam_R"].shape[0], "points": cols["X"].shape[0],
@@ -86,16 +96,48 @@ def save_scene(path: str | Path, scene: Scene, extra: dict | None = None):
         "columns": {k: {"shape": list(v.shape), "dtype": str(v.dtype)} for k, v in cols.items()},
         "extra": extra or {},
     }
-    path.with_suffix(path.suffix + ".manifest.json").write_text(json.dumps(manifest, indent=2))
+    tmp = path.with_name(path.name + f".tmp-{os.getpid()}")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    for k, v in cols.items():
+        np.save(tmp / f"{k}.npy", v)
+    (tmp / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    if path.is_dir():
+        shutil.rmtree(path)
+    elif path.exists():
+        path.unlink()  # legacy v1 single-file map being overwritten
+        sidecar = path.with_suffix(path.suffix + ".manifest.json")
+        if sidecar.exists():
+            sidecar.unlink()
+    os.replace(tmp, path)
+
+
+def load_manifest(path: str | Path) -> dict | None:
+    path = Path(path)
+    man_path = (path / "manifest.json") if path.is_dir() \
+        else path.with_suffix(path.suffix + ".manifest.json")
+    if man_path.exists():
+        return json.loads(man_path.read_text())
+    return None
+
+
+def load_scene_np(path: str | Path, *, mmap: bool = True) -> dict[str, np.ndarray]:
+    """Host-side column load. v2 directory maps mmap (zero-copy pages on
+    disk, nothing materialized until touched); legacy v1 .npz decompresses.
+    """
+    path = Path(path)
+    man = load_manifest(path)
+    if man and man["format_version"] > FORMAT_VERSION:
+        raise ValueError(f"scene format {man['format_version']} newer than supported")
+    if path.is_dir():
+        mode = "r" if mmap else None
+        return {f.name: np.load(path / f"{f.name}.npy", mmap_mode=mode)
+                for f in dataclasses.fields(Scene)}
+    with np.load(path) as z:  # v1 compat: compressed npz, not mmap-able
+        return {k: z[k] for k in z.files}
 
 
 def load_scene(path: str | Path) -> Scene:
-    path = Path(path)
-    man_path = path.with_suffix(path.suffix + ".manifest.json")
-    if man_path.exists():
-        man = json.loads(man_path.read_text())
-        if man["format_version"] > FORMAT_VERSION:
-            raise ValueError(f"scene format {man['format_version']} newer than supported")
-    with np.load(path) as z:
-        cols = {k: jnp.asarray(z[k]) for k in z.files}
-    return Scene(**cols)
+    cols = load_scene_np(path, mmap=False)
+    return Scene(**{k: jnp.asarray(v) for k, v in cols.items()})

@@ -74,7 +74,25 @@ def test_scene_roundtrip(tmp_path, pipeline_result):
     s2 = load_scene(p)
     np.testing.assert_array_equal(np.asarray(s2.cam_R), np.asarray(scene.cam_R))
     np.testing.assert_array_equal(np.asarray(s2.obs_pt), np.asarray(scene.obs_pt))
-    assert (p.parent / "scene.npz.manifest.json").exists()
+    assert (p / "manifest.json").exists()
+    # saving over an existing map (the georeference-in-place path) works
+    save_scene(p, s2, extra={"note": "again"})
+    assert load_scene(p) is not None
+
+
+def test_scene_store_mmap(tmp_path):
+    """A large map opens as memmaps — columns are not materialized on load."""
+    from sfmx.mapstore import new_scene
+    from sfmx.mapstore.scene import load_scene_np
+
+    intr = jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]])
+    scene = new_scene(n_cams=64, n_points=1_000_000, n_obs=64, intr=intr)
+    p = tmp_path / "bigmap"
+    save_scene(p, scene)
+    cols = load_scene_np(p, mmap=True)
+    assert isinstance(cols["X"], np.memmap)
+    assert cols["X"].shape == (1_000_000, 3)
+    np.testing.assert_array_equal(np.asarray(cols["cam_R"][0]), np.eye(3))
 
 
 def test_localize_heldout_queries(pipeline_result):
