@@ -45,6 +45,11 @@ class LocalizeConfig:
     min_inliers: int = 12
     binary: bool = False        # Hamming 2D-3D matching on M-LDB bits
     ham_thresh: float = 120.0   # Hamming acceptance threshold (bits of 486)
+    # full-pool Pallas streaming matching (no retrieval gather, no m_cap):
+    # "auto" switches on when the map exceeds streaming_min_landmarks
+    # (float descriptors only; binary maps keep the gather path)
+    streaming: str = "auto"     # off | on | auto
+    streaming_min_landmarks: int = 65536
 
 
 @dataclasses.dataclass(frozen=True)

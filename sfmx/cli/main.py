@@ -101,18 +101,32 @@ def cmd_localize(args):
     # queries MUST use the same extractor family the map was built with
     feats = extract_features(np.asarray(ws.images, np.float32), cfg)
     binary = cfg.localize.binary and lmap.lm_bits is not None
+    from ..localize import localize_query_streaming
+    from ..localize.localize import use_streaming
+
+    streaming = use_streaming(cfg.localize, lmap, binary)
     results = []
     for i in range(len(ws.images)):
-        res = localize_query(
-            lmap, feats.desc[i], feats.kp.uv[i], feats.kp.mask[i],
-            jnp.asarray(ws.intrinsics[0]), jax.random.PRNGKey(i),
-            top_k_kf=cfg.localize.top_k_kf, m_cap=cfg.localize.m_cap,
-            k_hypotheses=cfg.localize.k_hypotheses,
-            px_thresh=cfg.localize.px_thresh, sim_thresh=cfg.localize.sim_thresh,
-            min_inliers=cfg.localize.min_inliers,
-            q_bits=feats.desc_bits[i] if binary else None,
-            ham_thresh=cfg.localize.ham_thresh,
-        )
+        if streaming:
+            res = localize_query_streaming(
+                lmap, feats.desc[i], feats.kp.uv[i], feats.kp.mask[i],
+                jnp.asarray(ws.intrinsics[0]), jax.random.PRNGKey(i),
+                k_hypotheses=cfg.localize.k_hypotheses,
+                px_thresh=cfg.localize.px_thresh, ratio=cfg.match.ratio,
+                sim_thresh=cfg.localize.sim_thresh,
+                min_inliers=cfg.localize.min_inliers,
+            )
+        else:
+            res = localize_query(
+                lmap, feats.desc[i], feats.kp.uv[i], feats.kp.mask[i],
+                jnp.asarray(ws.intrinsics[0]), jax.random.PRNGKey(i),
+                top_k_kf=cfg.localize.top_k_kf, m_cap=cfg.localize.m_cap,
+                k_hypotheses=cfg.localize.k_hypotheses,
+                px_thresh=cfg.localize.px_thresh, sim_thresh=cfg.localize.sim_thresh,
+                min_inliers=cfg.localize.min_inliers,
+                q_bits=feats.desc_bits[i] if binary else None,
+                ham_thresh=cfg.localize.ham_thresh,
+            )
         results.append({
             "image": ws.image_paths[i],
             "R": np.asarray(res.R).tolist(), "t": np.asarray(res.t).tolist(),

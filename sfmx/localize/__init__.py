@@ -1,3 +1,4 @@
 from .localize import (LocalizationMap, build_localization_map,  # noqa: F401
-                       localize_batch, localize_query)
+                       localize_batch, localize_query,
+                       localize_batch_streaming, localize_query_streaming)
 from . import fusion  # noqa: F401

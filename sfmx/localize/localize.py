@@ -228,6 +228,39 @@ def localize_query(
     X3 = cX[best_m]                                      # (K,3)
 
     # --- PnP-RANSAC + refine ----------------------------------------------
+    return _pnp_from_matches(xn, X3, corr_ok, intr, key,
+                             k_hypotheses=k_hypotheses, px_thresh=px_thresh,
+                             min_inliers=min_inliers)
+
+
+def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key,
+                   q_bits=None, **kw):
+    """vmapped batch localization: leading axis B on q_*; shared intrinsics."""
+    keys = jax.random.split(key, q_desc.shape[0])
+    if q_bits is not None and lmap.lm_bits is not None:
+        fn = lambda d, u, m, k_, b: localize_query(
+            lmap, d, u, m, intr, k_, q_bits=b, **kw)
+        return jax.vmap(fn)(q_desc, q_uv, q_mask, keys, q_bits)
+    fn = lambda d, u, m, k_: localize_query(lmap, d, u, m, intr, k_, **kw)
+    return jax.vmap(fn)(q_desc, q_uv, q_mask, keys)
+
+
+# ---------------------------------------------------------------------------
+# Map-scale streaming path: match against the WHOLE landmark pool.
+#
+# The gather path above caps candidates at m_cap and depends on retrieval
+# picking the right keyframes; at map scale (10^5-10^6 landmarks) the dense
+# (K, P) similarity matrix would also blow HBM.  Here the Pallas streaming
+# top-2 kernel (kernels/pallas_match.py) tiles the landmark pool through
+# VMEM — HBM traffic is O(K*D + P*D), the (K, P) matrix never exists — so
+# one kernel call matches a whole query batch against every alive landmark.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k_hypotheses",))
+def _pnp_from_matches(xn, X3, corr_ok, intr, key, *, k_hypotheses,
+                      px_thresh, min_inliers):
+    """Shared PnP-RANSAC + GN tail of both matching paths (one query)."""
     f_mean = 0.5 * (intr[0] + intr[1])
     thresh_n = (px_thresh / f_mean) ** 2
 
@@ -251,17 +284,78 @@ def localize_query(
         jnp.clip(n_inl.astype(jnp.float32) / n_corr.astype(jnp.float32), 0.0, 1.0),
         0.0,
     )
-    center = -R.T @ t
-    return LocalizeResult(R=R, t=t, n_inliers=n_inl, confidence=conf, center=center)
+    return LocalizeResult(R=R, t=t, n_inliers=n_inl, confidence=conf,
+                          center=-R.T @ t)
 
 
-def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key,
-                   q_bits=None, **kw):
-    """vmapped batch localization: leading axis B on q_*; shared intrinsics."""
-    keys = jax.random.split(key, q_desc.shape[0])
-    if q_bits is not None and lmap.lm_bits is not None:
-        fn = lambda d, u, m, k_, b: localize_query(
-            lmap, d, u, m, intr, k_, q_bits=b, **kw)
-        return jax.vmap(fn)(q_desc, q_uv, q_mask, keys, q_bits)
-    fn = lambda d, u, m, k_: localize_query(lmap, d, u, m, intr, k_, **kw)
-    return jax.vmap(fn)(q_desc, q_uv, q_mask, keys)
+def localize_batch_streaming(
+    lmap: LocalizationMap,
+    q_desc: jax.Array,      # (B,K,D)
+    q_uv: jax.Array,        # (B,K,2)
+    q_mask: jax.Array,      # (B,K)
+    intr: jax.Array,        # (7,) shared or (B,7) per-query intrinsics
+    key: jax.Array,
+    *,
+    k_hypotheses: int = 1024,
+    px_thresh: float = 4.0,
+    ratio: float = 0.85,
+    sim_thresh: float = 0.75,
+    min_inliers: int = 12,
+    prior_center: jax.Array | None = None,
+    prior_radius: float = 0.0,
+    tile_b: int = 2048,
+    interpret: bool | None = None,
+) -> LocalizeResult:
+    """Batch localization against the full landmark pool (no m_cap, no
+    retrieval gather).  The whole (B*K) query set streams against every
+    alive landmark in ONE kernel call, then PnP-RANSAC vmaps per query.
+
+    Acceptance = Lowe ratio test + absolute similarity floor (no mutual
+    check: the second pass over P it would need costs more than RANSAC
+    absorbs in wrong matches).  prior_center/prior_radius gate landmarks by
+    position (the beacon-fusion hook, here applied to points directly
+    rather than to retrieved keyframes).
+    """
+    from ..kernels.pallas_match import match_float_streaming
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, K, D = q_desc.shape
+    lm_mask = lmap.lm_alive
+    if prior_center is not None:
+        d2 = jnp.sum((lmap.X - prior_center) ** 2, axis=-1)
+        lm_mask = lm_mask & (d2 <= prior_radius * prior_radius)
+    m = match_float_streaming(
+        q_desc.reshape(B * K, D), lmap.lm_desc,
+        q_mask.reshape(B * K), lm_mask,
+        ratio=ratio, tile_b=tile_b, interpret=interpret)
+    idx = m.idx.reshape(B, K)
+    corr_ok = (m.valid & (m.score > sim_thresh)).reshape(B, K)
+    X3 = lmap.X[idx]                                     # (B,K,3)
+
+    intr_b = jnp.broadcast_to(jnp.atleast_2d(intr), (B, 7))
+    xn = jax.vmap(cameras.pixel_to_normalized)(intr_b, q_uv)
+    keys = jax.random.split(key, B)
+    fn = partial(_pnp_from_matches, k_hypotheses=k_hypotheses,
+                 px_thresh=px_thresh, min_inliers=min_inliers)
+    return jax.vmap(fn)(xn, X3, corr_ok, intr_b, keys)
+
+
+def localize_query_streaming(lmap: LocalizationMap, q_desc, q_uv, q_mask,
+                             intr, key, **kw) -> LocalizeResult:
+    """Single-query convenience wrapper over the streaming batch path."""
+    res = localize_batch_streaming(
+        lmap, q_desc[None], q_uv[None], q_mask[None], intr, key, **kw)
+    return jax.tree_util.tree_map(lambda x: x[0], res)
+
+
+def use_streaming(lc, lmap: LocalizationMap, binary: bool) -> bool:
+    """Policy for LocalizeConfig.streaming: off | on | auto (map-size gated).
+
+    Binary maps keep the gather path — the streaming kernel is float/MXU.
+    """
+    if binary or lc.streaming == "off":
+        return False
+    if lc.streaming == "on":
+        return True
+    return lc.streaming == "auto" and lmap.X.shape[0] >= lc.streaming_min_landmarks

@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..localize import LocalizationMap, localize_query
+from ..localize import (LocalizationMap, localize_batch_streaming,
+                        localize_query)
+from ..localize.localize import use_streaming
 from ..localize.fusion import BeaconPrior, fuse
 
 
@@ -249,6 +251,13 @@ class LocalizationService:
             fn = lambda d, u, m, ki, kq, bq: localize_query(
                 lmap, d, u, m, ki, kq, q_bits=bq, **kw)
             res_b = jax.vmap(fn)(q_desc, q_uv, q_mask, intr_b, keys, q_bits)
+        elif use_streaming(lc, lmap, binary):
+            # map-scale path: whole batch vs every landmark in ONE streaming
+            # kernel call (no retrieval gather, no m_cap truncation)
+            res_b = localize_batch_streaming(
+                lmap, q_desc, q_uv, q_mask, intr_b, k,
+                k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
+                sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers)
         else:
             fn = lambda d, u, m, ki, kq: localize_query(lmap, d, u, m, ki, kq, **kw)
             res_b = jax.vmap(fn)(q_desc, q_uv, q_mask, intr_b, keys)
