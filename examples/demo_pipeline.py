@@ -77,7 +77,8 @@ def main():
     kp_mask = np.asarray(feats.kp.mask)
     t0 = time.time()
     scene, stats = reconstruct(kp_uv, kp_mask, tt, intr, np.zeros(C, np.int32),
-                               ReconConfig(px_thresh=4.0, min_init_inliers=20))
+                               ReconConfig(px_thresh=4.0, min_init_inliers=20),
+                               pair_counts=(pairs, np.asarray(res.valid).sum(1)))
     print(f"[recon] registered {stats['n_registered']}/{C} cams, "
           f"{stats['n_points']} points in {time.time()-t0:.1f}s")
     print("[recon] stats:", scene_stats(scene))

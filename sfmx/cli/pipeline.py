@@ -290,6 +290,9 @@ def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarr
         scene, stats = reconstruct(
             np.asarray(feats.kp.uv), np.asarray(feats.kp.mask), tt,
             np.asarray(intrinsics, np.float32), np.asarray(cam_k, np.int32), cfg.recon,
+            # direct (geometry-verified) per-pair match counts drive
+            # initial-pair selection — chained covisibility drifts
+            pair_counts=(pairs, np.asarray(res.valid).sum(axis=1)),
         )
         out.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
     return scene, feats, tt, stats

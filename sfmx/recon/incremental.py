@@ -78,6 +78,14 @@ def _init_pair_step(key, xn_a, xn_b, valid, thresh, k_hyp: int):
 
 
 @partial(jax.jit, static_argnames=("k_hyp",))
+def _init_pair_batch(keys, xn_a, xn_b, valid, thresh, k_hyp: int):
+    """All init-pair candidates scored in ONE vmapped device call."""
+    return jax.vmap(
+        lambda k, a, b, v: _init_pair_step(k, a, b, v, thresh, k_hyp)
+    )(keys, xn_a, xn_b, valid)
+
+
+@partial(jax.jit, static_argnames=("k_hyp",))
 def _resect_batch(keys, xn_b, X_b, valid_b, thresh_n, k_hyp: int):
     """vmapped resection: all eligible cameras in one device call."""
 
@@ -172,6 +180,7 @@ def reconstruct(
     cam_k: np.ndarray,      # (C,) intrinsics index
     cfg: ReconConfig = ReconConfig(),
     callbacks=None,
+    pair_counts: tuple | None = None,   # (pairs (Np,2), per-pair match counts)
 ) -> tuple[Scene, dict]:
     C, K, _ = kp_uv.shape
     T = tt.n_tracks
@@ -195,16 +204,19 @@ def reconstruct(
     )  # (C,K,2)
     xn_feat_np = np.asarray(xn_feat)
 
-    # Static per-track observation slots (first V observations of each track).
+    # Per-track observation slots: (T,V) static SHAPE, dynamic CONTENTS.
+    # Filling them with the first V observations once would strand long
+    # tracks — a track spanning cams 20..70 whose first 8 observations sit
+    # in an unregistered region can never triangulate even though dozens of
+    # registered cameras observe it, and incremental growth stalls at the
+    # first such frontier.  Instead ``refresh_slots`` re-points each
+    # not-yet-alive track's slots at (an even spread of) its REGISTERED
+    # observations before every triangulation round — the classical
+    # "triangulate from registered views" semantics at one compiled shape.
     starts, ends = tt.track_slices()
     tr_obs_cam = np.zeros((T, V), np.int32)
     tr_obs_feat = np.zeros((T, V), np.int32)
     tr_obs_mask = np.zeros((T, V), bool)
-    for t_i, (s, e) in enumerate(zip(starts, ends)):
-        n = min(e - s, V)
-        tr_obs_cam[t_i, :n] = tt.obs_cam[s:s + n]
-        tr_obs_feat[t_i, :n] = tt.obs_feat[s:s + n]
-        tr_obs_mask[t_i, :n] = True
 
     # Scene obs table == track table (landmark id = track id).
     obs_cam = tt.obs_cam
@@ -229,19 +241,60 @@ def reconstruct(
         return registered[obs_cam] & X_alive[obs_pt] & ~obs_pruned
 
     # ---- initial pair -----------------------------------------------------
-    cov = np.zeros((C, C), np.int32)
-    for s, e in zip(starts, ends):
-        cams_in = tt.obs_cam[s:e]
-        for i in range(len(cams_in)):
-            for j in range(i + 1, len(cams_in)):
-                a, b = cams_in[i], cams_in[j]
-                cov[a, b] += 1
-                cov[b, a] += 1
+    # Candidates come from DIRECT per-pair match counts when the pipeline
+    # provides them (pair_counts): chained track covisibility is poisoned by
+    # drift on long chains — a pair that never directly matched can share
+    # dozens of tracks of which few are E-consistent.  Without pair_counts
+    # (direct reconstruct() calls), fall back to chained covisibility, mixing
+    # the LEAST-covisible pairs above a quality floor (covisibility
+    # anti-correlates with baseline, and near-zero-baseline neighbors fail
+    # the parallax gate) with the strongest pairs.
+    if pair_counts is not None:
+        prs, pcnt = pair_counts
+        prs, pcnt = np.asarray(prs), np.asarray(pcnt)
+        selp = np.flatnonzero(pcnt >= cfg.min_init_inliers)
+        selp = selp[np.argsort(-pcnt[selp])]
+        if len(selp) > 48:
+            # quantile-sample the whole count range: count anti-correlates
+            # with baseline, and taking only the top-k would yield 48
+            # near-zero-baseline neighbors that all fail the parallax gate
+            selp = selp[np.round(np.linspace(0, len(selp) - 1, 48)).astype(int)]
+        pair_order = [(int(a), int(b)) for a, b in prs[selp]]
+    else:
+        cov = np.zeros((C, C), np.int32)
+        for s, e in zip(starts, ends):
+            cams_in = tt.obs_cam[s:e]
+            for i in range(len(cams_in)):
+                for j in range(i + 1, len(cams_in)):
+                    a, b = cams_in[i], cams_in[j]
+                    cov[a, b] += 1
+                    cov[b, a] += 1
+        au, bu = np.triu_indices(C, k=1)
+        cv = cov[au, bu]
+        sel = np.flatnonzero(cv >= cfg.min_init_inliers)
+        sel = sel[np.argsort(-cv[sel])]
+        if len(sel) > 48:
+            sel = sel[np.round(np.linspace(0, len(sel) - 1, 48)).astype(int)]
+        pair_order = [(int(a), int(b)) for a, b in zip(au[sel], bu[sel])]
 
-    pair_order = np.dstack(np.unravel_index(np.argsort(cov, axis=None)[::-1], cov.shape))[0]
-    pair_order = [(a, b) for a, b in pair_order if a < b][:10]
+    def refresh_slots():
+        """Re-point dead tracks' V slots at a spread of their registered
+        observations (alive tracks keep their slots for stability)."""
+        reg_obs = registered[obs_cam] & ~obs_pruned
+        nreg = np.bincount(obs_pt[reg_obs], minlength=T)
+        for t_i in np.flatnonzero(~X_alive & (nreg >= 2)):
+            s, e = starts[t_i], ends[t_i]
+            ridx = s + np.flatnonzero(reg_obs[s:e])
+            if len(ridx) > V:  # even spread across the (camera-ordered) track
+                ridx = ridx[np.round(np.linspace(0, len(ridx) - 1, V)).astype(int)]
+            n = len(ridx)
+            tr_obs_cam[t_i, :n] = tt.obs_cam[ridx]
+            tr_obs_feat[t_i, :n] = tt.obs_feat[ridx]
+            tr_obs_mask[t_i, :n] = True
+            tr_obs_mask[t_i, n:] = False
 
     def run_triangulation():
+        refresh_slots()
         Xn, ok = _triangulate_all(
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(registered),
             xn_feat, jnp.asarray(tr_obs_cam), jnp.asarray(tr_obs_feat),
@@ -282,42 +335,74 @@ def reconstruct(
         obs_count = np.bincount(obs_pt[alive], minlength=T)
         X_alive[obs_count < cfg.min_track_views] = False
 
-    init_done = False
     stats = {"ransac_inliers": [], "ba_costs": []}
-    for (a, b) in pair_order:
-        if cov[a, b] < cfg.min_init_inliers:
-            break
-        # correspondences: tracks observed by both
-        shared, ia, ib = np.intersect1d(cam_tracks[a], cam_tracks[b], return_indices=True)
-        xa = np.zeros((K, 2), np.float32)
-        xb = np.zeros((K, 2), np.float32)
-        valid = np.zeros(K, bool)
-        n = min(len(shared), K)
-        xa[:n] = xn_feat_np[a, cam_feats[a][ia[:n]]]
-        xb[:n] = xn_feat_np[b, cam_feats[b][ib[:n]]]
-        valid[:n] = True
+    best = None  # (med_px, (a, b), state snapshot) of the best-fitting seed
+    if pair_order:
+        # score ALL candidates in one vmapped device call, then seed from the
+        # best: gate = enough E-inliers + median triangulation angle in a sane
+        # band; rank passing candidates by inlier count
+        nc = len(pair_order)
+        xa_b = np.zeros((nc, K, 2), np.float32)
+        xb_b = np.zeros((nc, K, 2), np.float32)
+        valid_b = np.zeros((nc, K), bool)
+        for ci, (a, b) in enumerate(pair_order):
+            shared, ia, ib = np.intersect1d(cam_tracks[a], cam_tracks[b],
+                                            return_indices=True)
+            n = min(len(shared), K)
+            xa_b[ci, :n] = xn_feat_np[a, cam_feats[a][ia[:n]]]
+            xb_b[ci, :n] = xn_feat_np[b, cam_feats[b][ib[:n]]]
+            valid_b[ci, :n] = True
         key, sk = jax.random.split(key)
-        R, t, inl, cnt, par = _init_pair_step(
-            sk, jnp.asarray(xa), jnp.asarray(xb), jnp.asarray(valid),
-            thresh_n, cfg.ransac_hypotheses,
-        )
-        if int(cnt) < cfg.min_init_inliers or float(par) <= cfg.min_parallax_deg:
-            continue
-        cam_R[a], cam_t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
-        cam_R[b], cam_t[b] = np.asarray(R), np.asarray(t)
-        registered[a] = registered[b] = True
-        run_triangulation()
-        if X_alive.sum() >= max(8, cfg.min_init_inliers // 2):
-            init_done = True
-            stats["init_pair"] = (int(a), int(b))
-            break
-        # seed failed to triangulate (degenerate pose/geometry): reset & retry
-        registered[a] = registered[b] = False
-        X_alive[:] = False
-    if not init_done:
+        keys = jax.random.split(sk, nc)
+        Rc, tc, _inlc, cntc, parc = _init_pair_batch(
+            keys, jnp.asarray(xa_b), jnp.asarray(xb_b), jnp.asarray(valid_b),
+            thresh_n, cfg.ransac_hypotheses)
+        Rc, tc = np.asarray(Rc), np.asarray(tc)
+        cntc, parc = np.asarray(cntc), np.asarray(parc)
+        passing = ((cntc >= cfg.min_init_inliers)
+                   & (parc > cfg.min_parallax_deg) & (parc < 60.0))
+        # Seed-quality selection: a geometrically passing but degenerate
+        # seed (e.g. an oblique view of one plane) drags the whole
+        # reconstruction into a bad optimum later global BAs cannot leave.
+        # So BA each candidate's two-view seed and keep the best-FITTING of
+        # the first few that triangulate (median reprojection in px).
+        trials = 0
+        for ci in np.argsort(-np.where(passing, cntc, -1)):
+            if not passing[ci] or trials >= 3:
+                break
+            a, b = pair_order[ci]
+            cam_R[a], cam_t[a] = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+            cam_R[b], cam_t[b] = Rc[ci], tc[ci]
+            registered[a] = registered[b] = True
+            pruned_snap = obs_pruned.copy()
+            run_triangulation()
+            if X_alive.sum() >= max(8, cfg.min_init_inliers // 2):
+                trials += 1
+                run_ba(cfg.ba_iters)
+                alive = obs_alive_mask()
+                err2 = np.asarray(_reproj_err2_norm(
+                    jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+                    jnp.asarray(obs_cam), jnp.asarray(obs_pt),
+                    jnp.asarray(xn_obs, jnp.float32)))
+                med_px = float(np.sqrt(np.median(err2[alive]))) * f_mean \
+                    if alive.any() else np.inf
+                n_pts = int(X_alive.sum())
+                if (n_pts >= max(8, cfg.min_init_inliers // 2)
+                        and med_px < cfg.px_thresh
+                        and (best is None or med_px < best[0])):
+                    best = (med_px, (int(a), int(b)),
+                            (cam_R.copy(), cam_t.copy(), X.copy(),
+                             X_alive.copy(), obs_pruned.copy()))
+            # reset to the pre-init state for the next trial
+            registered[a] = registered[b] = False
+            X_alive[:] = False
+            obs_pruned[:] = pruned_snap
+    if best is None:
         raise ReconError("no valid initial pair (all candidates failed to seed)")
-
-    run_ba(cfg.ba_iters)
+    med_px, (a, b), (cam_R, cam_t, X, X_alive, obs_pruned) = best
+    registered[a] = registered[b] = True
+    stats["init_pair"] = (a, b)
+    stats["init_med_px"] = med_px
 
     # ---- incremental loop --------------------------------------------------
     # Round-based: every round resects either the single best camera (the
