@@ -11,7 +11,11 @@ stand-in (OpenCV AKAZE detectAndCompute + BFMatcher ratio test +
 solvePnPRansac — the exact components hulop/SfMLocalization uses), measured
 on this host.  The real reference pipeline was not obtainable (SURVEY.md §0).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+other BASELINE.json north stars as extra keys — BA LM-iters/s at config-3
+scale, pairwise matching pairs/s, and MFU / roofline fractions computed
+against the chip's MEASURED peak bf16 matmul FLOP/s and HBM bandwidth
+(VERDICT r1 item 7).
 """
 import json
 import sys
@@ -24,6 +28,143 @@ H, W = 480, 640
 K_FEAT = 512
 P_MAP = 8192    # landmarks
 C_KF = 256      # keyframes
+
+
+def _force(x):
+    """Force device completion: on the axon backend ``block_until_ready``
+    returns before execution finishes (BASELINE.md) — a host read of a
+    scalar is the only reliable fence."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
+
+
+def measure_peaks():
+    """Measured chip ceilings the roofline fractions divide by.
+
+    Peak bf16 matmul FLOP/s: 4096^3 GEMM (MXU-bound).  HBM bandwidth:
+    elementwise add over 256 MiB (reads + writes counted).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # chain the GEMMs inside one program: this backend costs ~23 ms per
+    # host sync (BASELINE.md), which would swamp per-call timing
+    n, chain = 4096, 32
+    a = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def gemm_chain(a):
+        def body(x, _):
+            y = jnp.dot(x, a, preferred_element_type=jnp.float32)
+            return y.astype(jnp.bfloat16) * (1.0 / n), None
+        out, _ = jax.lax.scan(body, a, None, length=chain)
+        return out
+
+    _force(gemm_chain(a))
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = gemm_chain(a)
+    _force(out)
+    tflops = 2.0 * n ** 3 * chain * reps / (time.time() - t0) / 1e12
+
+    m = 64 * 1024 * 1024  # 256 MiB of f32
+
+    @jax.jit
+    def add_chain(x):
+        def body(x, _):
+            return x + 1.0, None
+        out, _ = jax.lax.scan(body, x, None, length=chain)
+        return out
+
+    x = jnp.ones((m,), jnp.float32)
+    _force(add_chain(x))
+    t0 = time.time()
+    for _ in range(reps):
+        out = add_chain(x)
+    _force(out)
+    gbps = 2.0 * 4.0 * m * chain * reps / (time.time() - t0) / 1e9
+    return tflops, gbps
+
+
+def matching_throughput(peak_tflops):
+    """Pairwise brute-force matching (SURVEY C3 hot loop): image pairs/s and
+    MFU of the similarity GEMMs against the measured matmul peak.
+
+    FLOPs model: one (K,D)x(D,K) bf16 GEMM per pair = 2*K*K*D (ratio test,
+    cross-check, and top-2 are VPU work on the same similarity matrix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfmx.kernels import features, matching
+
+    C, K, D = 64, K_FEAT, features.N_FLOAT_DIM
+    rng = np.random.default_rng(0)
+    descs = rng.standard_normal((C, K, D)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+    masks = np.ones((C, K), bool)
+    npairs = 512
+    pairs = rng.integers(0, C, (npairs, 2)).astype(np.int32)
+    descs, masks, pairs = map(jnp.asarray, (descs, masks, pairs))
+
+    out = matching.match_pairs_float(descs, masks, pairs)
+    _force(out.score)
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        out = matching.match_pairs_float(descs, masks, pairs)
+    _force(out.score)
+    dt = (time.time() - t0) / reps
+    pairs_per_s = npairs / dt
+    mfu = pairs_per_s * 2.0 * K * K * D / (peak_tflops * 1e12)
+    return pairs_per_s, mfu
+
+
+def ba_throughput(hbm_gbps):
+    """Global BA at config-3 scale (512 cams / 20k pts / 200k obs,
+    Schur-complement LM + 30-iter PCG): LM iterations/s and a roofline
+    fraction against measured HBM bandwidth.
+
+    Traffic model (lower bound, per observation per CG iteration of
+    ``schur.schur_matvec``): read W twice (2*18 f32), Vinv (9 f32), gather
+    x[cam_id] (6 f32), scatter/gather the per-point intermediate (2*3 f32)
+    and scatter z_c (6 f32) = 63 f32 = 252 B.  Assembly and the non-matvec
+    LM work are excluded, so the reported fraction is conservative."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfmx.solvers import lm
+
+    C, P, O = 512, 20000, 200000
+    iters, cg_iters = 10, 30
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-5, 5, (C, 2)),
+                        np.full((C, 1), 20.0)], 1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_id = rng.integers(0, C, O).astype(np.int32)
+    pt_id = rng.integers(0, P, O).astype(np.int32)
+    Xc = X[pt_id] + t[cam_id]
+    uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+          + 0.5 * rng.standard_normal((O, 2))).astype(np.float32)
+    intr = np.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], np.float32)
+    fixed = jnp.zeros(C, bool).at[0].set(True)
+    argsba = (jnp.asarray(intr), jnp.zeros(C, jnp.int32), jnp.asarray(R),
+              jnp.asarray(t), jnp.asarray(X), jnp.asarray(cam_id),
+              jnp.asarray(pt_id), jnp.asarray(uv), jnp.ones(O, jnp.float32),
+              fixed)
+    out = lm.ba_solve(*argsba, iters=iters, cg_iters=cg_iters)
+    _force(out[3])
+    t0 = time.time()
+    out = lm.ba_solve(*argsba, iters=iters, cg_iters=cg_iters)
+    _force(out[3])
+    lm_iters_per_s = iters / (time.time() - t0)
+    bytes_per_lm_iter = cg_iters * O * 252.0
+    frac = lm_iters_per_s * bytes_per_lm_iter / (hbm_gbps * 1e9)
+    return lm_iters_per_s, frac
 
 
 def tpu_frames_per_s():
@@ -123,11 +264,30 @@ def main():
         value, compile_s = tpu_frames_per_s()
     base = cpu_baseline_frames_per_s()
     vs = value / base if base else None
+
+    # the other north stars (BASELINE.json): each guarded so a sub-bench
+    # failure still emits the headline line
+    extras = {}
+    try:
+        tflops, gbps = measure_peaks()
+        extras["peak_bf16_tflops"] = round(tflops, 1)
+        extras["hbm_gbps"] = round(gbps, 1)
+        pps, mfu = matching_throughput(tflops)
+        extras["matching_pairs_per_s"] = round(pps, 1)
+        extras["matching_mfu"] = round(mfu, 3)
+        ips, frac = ba_throughput(gbps)
+        extras["ba_lm_iters_per_s"] = round(ips, 2)
+        extras["ba_hbm_roofline_frac"] = round(frac, 3)
+    except Exception as e:
+        print(f"# sub-bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "query_localization_throughput",
         "value": round(value, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "compile_s": round(compile_s, 1),
+        **extras,
     }))
     print(f"# compile {compile_s:.1f}s; cpu baseline {base and round(base,2)} frames/s",
           file=sys.stderr)
