@@ -164,7 +164,7 @@ def cmd_serve(args):
         map_id, path = spec.split("=", 1) if "=" in spec else (spec, spec)
         scene, lmap = _load_lmap(path, binary=cfg.localize.binary)
         service.load_map(map_id, lmap, jnp.asarray(np.asarray(scene.intr)[0]),
-                         cfg=cfg)
+                         cfg=cfg, shards=args.shards)
     app = make_app(service)
     web.run_app(app, port=args.port)
 
@@ -255,6 +255,8 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=8080)
     s.add_argument("--batch-window-ms", type=float, default=5.0)
     s.add_argument("--max-batch", type=int, default=32)
+    s.add_argument("--shards", type=int, default=1,
+                   help="split each map across N devices, route by retrieval")
     s.add_argument("--config", default=None)
     s.add_argument("--override", "-D", action="append")
     s.set_defaults(fn=cmd_serve)

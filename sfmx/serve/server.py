@@ -109,15 +109,24 @@ class LocalizationService:
         self._key = jax.random.PRNGKey(0)
 
     def load_map(self, map_id: str, lmap: LocalizationMap, intr: jnp.ndarray,
-                 cfg=None):
+                 cfg=None, *, shards: int = 1):
         """cfg: PipelineConfig the map was built with — required for image
-        requests (queries must use the same extractor family)."""
+        requests (queries must use the same extractor family).
+
+        shards > 1 splits the map across that many devices and routes each
+        query by retrieval (router.py — the multi-floor/building scale path;
+        float descriptors only)."""
         if cfg is None:
             from ..cli.config import PipelineConfig
 
             cfg = PipelineConfig()
-        self.maps[map_id] = (jax.device_put(lmap),
-                             jnp.asarray(intr, jnp.float32), cfg)
+        if shards > 1:
+            from .router import MapShardRouter, split_localization_map
+
+            obj = MapShardRouter.build(split_localization_map(lmap, shards))
+        else:
+            obj = jax.device_put(lmap)
+        self.maps[map_id] = (obj, jnp.asarray(intr, jnp.float32), cfg)
 
     async def start(self):
         self._task = asyncio.create_task(self._batch_loop())
@@ -215,7 +224,8 @@ class LocalizationService:
             if r.q_desc is None:
                 out.append((r, ValueError("no features or image in request")))
                 continue
-            binary = r.q_bits is not None and self.maps[r.map_id][0].lm_bits is not None
+            binary = (r.q_bits is not None and
+                      getattr(self.maps[r.map_id][0], "lm_bits", None) is not None)
             by_map.setdefault((r.map_id, r.q_desc.shape[0], binary), []).append(r)
         for (map_id, _k, binary), reqs in by_map.items():
             try:
@@ -226,6 +236,8 @@ class LocalizationService:
         return out
 
     def _localize_group(self, map_id: str, reqs: list[_Request], binary: bool):
+        from .router import MapShardRouter
+
         lmap, intr0, cfg = self.maps[map_id]
         lc = cfg.localize
         self._key, k = jax.random.split(self._key)
@@ -246,7 +258,14 @@ class LocalizationService:
                   k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
                   sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers,
                   ham_thresh=lc.ham_thresh)
-        if binary:
+        if isinstance(lmap, MapShardRouter):
+            # multi-device map: route each query to its shard's device
+            res_b, _ = lmap.localize_batch(
+                q_desc, q_uv, q_mask, jnp.asarray(intr0), k,
+                top_k_kf=lc.top_k_kf, m_cap=lc.m_cap,
+                k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
+                sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers)
+        elif binary:
             q_bits = jnp.asarray(pad(np.stack([r.q_bits for r in reqs])))
             fn = lambda d, u, m, ki, kq, bq: localize_query(
                 lmap, d, u, m, ki, kq, q_bits=bq, **kw)

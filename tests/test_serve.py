@@ -57,6 +57,36 @@ def test_service_localizes_and_batches(loaded_service):
     assert svc.stats.batches < 6  # micro-batching actually batched
 
 
+def test_service_shard_routed_map(pipeline_result):  # noqa: F811
+    """serve --shards N: map split across devices, queries routed by
+    retrieval to their shard's device (EP analog in the serving path)."""
+    sc, scene, stats, extras = pipeline_result
+    (uv, desc, mask, feat_pt, tt) = extras
+    lmap = build_localization_map(scene, desc, tt.obs_feat)
+    svc = LocalizationService(batch_window_ms=2.0, max_batch=8)
+    svc.load_map("demo", lmap, jnp.asarray(sc.intrinsics, jnp.float32),
+                 shards=4)
+    from sfmx.serve.router import MapShardRouter
+
+    assert isinstance(svc.maps["demo"][0], MapShardRouter)
+    d, u = _query_payload(sc, scene, extras, np.random.default_rng(2))
+    q_desc = np.zeros((512, d.shape[1]), np.float32)
+    q_uv = np.zeros((512, 2), np.float32)
+    q_mask = np.zeros(512, bool)
+    q_desc[:len(d)], q_uv[:len(u)], q_mask[:len(d)] = d, u, True
+
+    async def run():
+        await svc.start()
+        outs = await asyncio.gather(*[
+            svc.localize("demo", q_desc, q_uv, q_mask) for _ in range(3)
+        ])
+        await svc.stop()
+        return outs
+
+    outs = asyncio.run(run())
+    assert all(o["n_inliers"] > 20 for o in outs)
+
+
 def test_http_endpoints(loaded_service):
     from aiohttp.test_utils import TestClient, TestServer
 
