@@ -45,6 +45,9 @@ class LocalizeConfig:
     min_inliers: int = 12
     binary: bool = False        # Hamming 2D-3D matching on M-LDB bits
     ham_thresh: float = 120.0   # Hamming acceptance threshold (bits of 486)
+    # PnP minimal solver: "dlt6" (6-pt DLT) or "p3p" (Grunert 3-pt, 4
+    # candidates/sample — survives low inlier ratios; solvers/p3p.py)
+    pnp_solver: str = "dlt6"
     # full-pool Pallas streaming matching (no retrieval gather, no m_cap):
     # "auto" switches on when the map exceeds streaming_min_landmarks
     # (float descriptors only; binary maps keep the gather path)

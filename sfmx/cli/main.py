@@ -115,6 +115,7 @@ def cmd_localize(args):
                 px_thresh=cfg.localize.px_thresh, ratio=cfg.match.ratio,
                 sim_thresh=cfg.localize.sim_thresh,
                 min_inliers=cfg.localize.min_inliers,
+                pnp_solver=cfg.localize.pnp_solver,
             )
         else:
             res = localize_query(
@@ -126,6 +127,7 @@ def cmd_localize(args):
                 min_inliers=cfg.localize.min_inliers,
                 q_bits=feats.desc_bits[i] if binary else None,
                 ham_thresh=cfg.localize.ham_thresh,
+                pnp_solver=cfg.localize.pnp_solver,
             )
         results.append({
             "image": ws.image_paths[i],

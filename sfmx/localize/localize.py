@@ -152,7 +152,8 @@ def build_localization_map(scene: Scene, feat_desc: np.ndarray,
     )
 
 
-@partial(jax.jit, static_argnames=("top_k_kf", "m_cap", "k_hypotheses"))
+@partial(jax.jit, static_argnames=("top_k_kf", "m_cap", "k_hypotheses",
+                                   "pnp_solver"))
 def localize_query(
     lmap: LocalizationMap,
     q_desc: jax.Array,      # (K,D) query descriptors (unit norm)
@@ -171,6 +172,7 @@ def localize_query(
     prior_radius: float = 0.0,
     q_bits: jax.Array | None = None,
     ham_thresh: float = 120.0,
+    pnp_solver: str = "dlt6",
 ) -> LocalizeResult:
     """Localize one query image against the map. Fully jitted; vmap for batches.
 
@@ -230,7 +232,7 @@ def localize_query(
     # --- PnP-RANSAC + refine ----------------------------------------------
     return _pnp_from_matches(xn, X3, corr_ok, intr, key,
                              k_hypotheses=k_hypotheses, px_thresh=px_thresh,
-                             min_inliers=min_inliers)
+                             min_inliers=min_inliers, pnp_solver=pnp_solver)
 
 
 def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key,
@@ -257,10 +259,15 @@ def localize_batch(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, key,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("k_hypotheses",))
+@partial(jax.jit, static_argnames=("k_hypotheses", "pnp_solver"))
 def _pnp_from_matches(xn, X3, corr_ok, intr, key, *, k_hypotheses,
-                      px_thresh, min_inliers):
-    """Shared PnP-RANSAC + GN tail of both matching paths (one query)."""
+                      px_thresh, min_inliers, pnp_solver: str = "dlt6"):
+    """Shared PnP-RANSAC + GN tail of both matching paths (one query).
+
+    pnp_solver: "dlt6" (6-pt DLT, the high-inlier default) or "p3p"
+    (Grunert 3-pt minimal, 4 candidates/sample — survives low inlier
+    ratios; see solvers/p3p.py).
+    """
     f_mean = 0.5 * (intr[0] + intr[1])
     thresh_n = (px_thresh / f_mean) ** 2
 
@@ -269,10 +276,16 @@ def _pnp_from_matches(xn, X3, corr_ok, intr, key, *, k_hypotheses,
         r = pnp.pnp_residual(R, t, xn_d, X_d)
         return jnp.sum(r * r, axis=-1)
 
+    if pnp_solver == "p3p":
+        from ..solvers import p3p
+
+        solver, sample_size, n_cand = p3p.p3p_minimal, p3p.MIN_SAMPLE, p3p.N_CANDIDATES
+    else:
+        solver, sample_size, n_cand = pnp.dlt_pnp_minimal, pnp.MIN_SAMPLE, 1
     (R, t), inliers, _ = ransac.ransac(
-        key, pnp.dlt_pnp_minimal, residual_fn, (xn, X3), corr_ok,
-        k_hypotheses=k_hypotheses, sample_size=pnp.MIN_SAMPLE,
-        inlier_threshold=thresh_n,
+        key, solver, residual_fn, (xn, X3), corr_ok,
+        k_hypotheses=k_hypotheses, sample_size=sample_size,
+        inlier_threshold=thresh_n, n_candidates=n_cand,
     )
     R, t = pnp.refine_pnp_gn(R, t, xn, X3, inliers)
     r = residual_fn((R, t), xn, X3)
@@ -305,6 +318,7 @@ def localize_batch_streaming(
     prior_radius: float = 0.0,
     tile_b: int = 2048,
     interpret: bool | None = None,
+    pnp_solver: str = "dlt6",
 ) -> LocalizeResult:
     """Batch localization against the full landmark pool (no m_cap, no
     retrieval gather).  The whole (B*K) query set streams against every
@@ -337,7 +351,8 @@ def localize_batch_streaming(
     xn = jax.vmap(cameras.pixel_to_normalized)(intr_b, q_uv)
     keys = jax.random.split(key, B)
     fn = partial(_pnp_from_matches, k_hypotheses=k_hypotheses,
-                 px_thresh=px_thresh, min_inliers=min_inliers)
+                 px_thresh=px_thresh, min_inliers=min_inliers,
+                 pnp_solver=pnp_solver)
     return jax.vmap(fn)(xn, X3, corr_ok, intr_b, keys)
 
 

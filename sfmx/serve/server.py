@@ -257,7 +257,7 @@ class LocalizationService:
         kw = dict(top_k_kf=lc.top_k_kf, m_cap=lc.m_cap,
                   k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
                   sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers,
-                  ham_thresh=lc.ham_thresh)
+                  ham_thresh=lc.ham_thresh, pnp_solver=lc.pnp_solver)
         if isinstance(lmap, MapShardRouter):
             # multi-device map: route each query to its shard's device
             res_b, _ = lmap.localize_batch(
@@ -276,7 +276,8 @@ class LocalizationService:
             res_b = localize_batch_streaming(
                 lmap, q_desc, q_uv, q_mask, intr_b, k,
                 k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
-                sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers)
+                sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers,
+                pnp_solver=lc.pnp_solver)
         else:
             fn = lambda d, u, m, ki, kq: localize_query(lmap, d, u, m, ki, kq, **kw)
             res_b = jax.vmap(fn)(q_desc, q_uv, q_mask, intr_b, keys)

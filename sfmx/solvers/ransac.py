@@ -40,11 +40,15 @@ def ransac(
     k_hypotheses: int = 1024,
     sample_size: int,
     inlier_threshold: float,
+    n_candidates: int = 1,
 ):
     """Generic batched RANSAC.
 
     Args:
       solver: (sampled_data...) -> model pytree. vmapped over hypotheses.
+        With n_candidates > 1 the solver returns a pytree whose leaves carry
+        a leading candidate axis (multi-root minimal solvers like P3P); all
+        candidates join the hypothesis pool and argmax selects across them.
       residual_fn: (model, data...) -> (N,) nonnegative residuals.
       data: tuple of (N,...) arrays; rows are correspondences.
       mask: (N,) bool — valid correspondences.
@@ -58,6 +62,10 @@ def ransac(
         return solver(*sampled)
 
     models = jax.vmap(solve_one)(idx)  # pytree with leading k_hyp axis
+    if n_candidates > 1:
+        models = jax.tree_util.tree_map(
+            lambda x: x.reshape((k_hypotheses * n_candidates,) + x.shape[2:]),
+            models)
 
     def score_one(model):
         r = residual_fn(model, *data)
