@@ -94,13 +94,44 @@ def cmd_localize(args):
 
     cfg = load_config(args.config, args.override or [])
     scene, lmap = _load_lmap(args.map, binary=cfg.localize.binary)
-    ws = load_directory(args.images, resize_to=cfg.resize_to,
-                        focal_factor=cfg.focal_factor)
+    if getattr(args, "video", False):
+        from .ingest import load_video
+
+        ws = load_video(args.images, every_n=args.every_n,
+                        resize_to=cfg.resize_to, focal_factor=cfg.focal_factor)
+    else:
+        ws = load_directory(args.images, resize_to=cfg.resize_to,
+                            focal_factor=cfg.focal_factor)
     from .pipeline import extract_features
 
     # queries MUST use the same extractor family the map was built with
     feats = extract_features(np.asarray(ws.images, np.float32), cfg)
     binary = cfg.localize.binary and lmap.lm_bits is not None
+
+    if getattr(args, "sequential", False):
+        # continuous tracking: each pose's center gates the next frame's
+        # retrieval; lost tracks relocalize globally (localize/tracking.py)
+        from ..localize.tracking import TrackingConfig, localize_sequence
+
+        lc = cfg.localize
+        tcfg = TrackingConfig(
+            radius=args.radius, min_inliers=lc.min_inliers,
+            top_k_kf=lc.top_k_kf, m_cap=lc.m_cap,
+            k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
+            sim_thresh=lc.sim_thresh, pnp_solver=lc.pnp_solver)
+        seq_res, flags, stats = localize_sequence(
+            lmap, feats.desc, feats.kp.uv, feats.kp.mask,
+            jnp.asarray(ws.intrinsics[0]), jax.random.PRNGKey(0), tcfg)
+        out = [{
+            "image": ws.image_paths[i],
+            "R": np.asarray(r.R).tolist(), "t": np.asarray(r.t).tolist(),
+            "center": np.asarray(r.center).tolist(),
+            "n_inliers": int(r.n_inliers), "confidence": float(r.confidence),
+            "tracked": bool(flags[i]),
+        } for i, r in enumerate(seq_res)]
+        print(json.dumps({"stats": stats, "frames": out}, indent=2))
+        return
+
     from ..localize import localize_query_streaming
     from ..localize.localize import use_streaming
 
@@ -242,7 +273,13 @@ def main(argv=None):
 
     l = sub.add_parser("localize", help="localize query images against a map")
     l.add_argument("map")
-    l.add_argument("images")
+    l.add_argument("images", help="image directory, or video file with --video")
+    l.add_argument("--video", action="store_true")
+    l.add_argument("--every-n", type=int, default=10, help="video frame stride")
+    l.add_argument("--sequential", action="store_true",
+                   help="continuous tracking: prior-gated retrieval + reloc")
+    l.add_argument("--radius", type=float, default=3.0,
+                   help="tracking prior radius (map units)")
     l.add_argument("--config", default=None)
     l.add_argument("--override", "-D", action="append")
     l.set_defaults(fn=cmd_localize)
