@@ -248,6 +248,16 @@ def cmd_evaluate(args):
     print_report(report)
 
 
+def cmd_export(args):
+    from ..mapstore import load_scene
+    from .export import export_scene_ply
+
+    scene = load_scene(args.map)
+    out = args.output or (str(args.map).rstrip("/") + ".ply")
+    print(json.dumps(export_scene_ply(scene, out,
+                                      frustum_scale=args.frustum_scale)))
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -310,6 +320,12 @@ def main(argv=None):
     e.add_argument("map")
     e.add_argument("--reference", default=None, help="txt file of (C,3) GT centers")
     e.set_defaults(fn=cmd_evaluate)
+
+    x = sub.add_parser("export", help="export map to PLY (cloud + frusta)")
+    x.add_argument("map")
+    x.add_argument("-o", "--output", default=None)
+    x.add_argument("--frustum-scale", type=float, default=0.15)
+    x.set_defaults(fn=cmd_export)
 
     bn = sub.add_parser("bench", help="run the headline benchmark")
     bn.set_defaults(fn=cmd_bench)
