@@ -1,0 +1,82 @@
+"""Determinism gates (SURVEY §4.2.5): fixed inputs + fixed PRNG key must
+reproduce the map and the localization result BIT-IDENTICALLY.
+
+Everything on the device path is pure-functional XLA (deterministic per
+backend+program), and the host-side incremental loop uses no unordered
+containers or wall-clock — so exact reproducibility is a design property
+worth pinning with a test, not a hope.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sfmx.cli.config import ReconConfig
+from sfmx.kernels import features, matching
+from sfmx.recon import tracks
+from sfmx.recon.incremental import reconstruct
+
+from .synthetic import make_scene
+from .test_matching_tracks import scene_features
+
+
+def _build(seed_data=3):
+    rng = np.random.default_rng(7)
+    sc = make_scene(n_cams=6, n_points=150, noise_px=0.3, seed=seed_data)
+    uv, desc, mask, feat_pt = scene_features(sc, rng, noise=0.05)
+    C = uv.shape[0]
+    pairs = np.array([(a, b) for a in range(C) for b in range(a + 1, C)],
+                     np.int32)
+    res = matching.match_pairs_float(jnp.asarray(desc), jnp.asarray(mask),
+                                     jnp.asarray(pairs))
+    tt = tracks.build_tracks(pairs, np.asarray(res.idx), np.asarray(res.valid),
+                             C, uv.shape[1])
+    scene, stats = reconstruct(uv, mask, tt,
+                               sc.intrinsics[None].astype(np.float32),
+                               np.zeros(C, np.int32), ReconConfig(ba_every=3))
+    return scene, stats
+
+
+def test_reconstruction_bit_identical():
+    s1, st1 = _build()
+    s2, st2 = _build()
+    assert st1 == st2
+    for name in ("cam_R", "cam_t", "cam_alive", "X", "X_alive",
+                 "obs_cam", "obs_pt", "obs_uv", "obs_alive"):
+        a, b = np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name))
+        assert np.array_equal(a, b), f"scene.{name} not reproducible"
+
+
+def test_extraction_bit_identical(rng):
+    img = jnp.asarray(rng.random((2, 96, 128)), jnp.float32)
+    f1 = features.detect_and_describe(img, max_keypoints=64, threshold=1e-7)
+    f2 = features.detect_and_describe(img, max_keypoints=64, threshold=1e-7)
+    assert np.array_equal(np.asarray(f1.desc), np.asarray(f2.desc))
+    assert np.array_equal(np.asarray(f1.kp.uv), np.asarray(f2.kp.uv))
+
+
+def test_localization_bit_identical(rng):
+    from sfmx.localize import build_localization_map, localize_query
+
+    scene, _ = _build()
+    sc = make_scene(n_cams=6, n_points=150, noise_px=0.3, seed=3)
+    uv, desc, mask, feat_pt = scene_features(sc, np.random.default_rng(7),
+                                             noise=0.05)
+    # build_localization_map twice: vocabulary k-means uses a fixed key
+    pairs = np.array([(a, b) for a in range(6) for b in range(a + 1, 6)],
+                     np.int32)
+    res = matching.match_pairs_float(jnp.asarray(desc), jnp.asarray(mask),
+                                     jnp.asarray(pairs))
+    tt = tracks.build_tracks(pairs, np.asarray(res.idx), np.asarray(res.valid),
+                             6, uv.shape[1])
+    m1 = build_localization_map(scene, desc, tt.obs_feat)
+    m2 = build_localization_map(scene, desc, tt.obs_feat)
+    assert np.array_equal(np.asarray(m1.lm_desc), np.asarray(m2.lm_desc))
+    assert np.array_equal(np.asarray(m1.kf_gdesc), np.asarray(m2.kf_gdesc))
+
+    intr = jnp.asarray(sc.intrinsics, jnp.float32)
+    q = (jnp.asarray(desc[2]), jnp.asarray(uv[2]), jnp.asarray(mask[2]))
+    r1 = localize_query(m1, *q, intr, jax.random.PRNGKey(5))
+    r2 = localize_query(m1, *q, intr, jax.random.PRNGKey(5))
+    assert np.array_equal(np.asarray(r1.R), np.asarray(r2.R))
+    assert np.array_equal(np.asarray(r1.t), np.asarray(r2.t))
+    assert int(r1.n_inliers) == int(r2.n_inliers)
