@@ -33,6 +33,8 @@ class MatchConfig:
     gv_hypotheses: int = 256        # RANSAC hypotheses per pair
     gv_min_inliers: int = 16        # drop pairs with fewer geometric inliers
     binary: bool = False            # Hamming on M-LDB bits instead of GEMM
+    # float-matching kernel: auto (pallas on TPU) | pallas | dense
+    kernel: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

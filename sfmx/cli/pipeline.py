@@ -231,9 +231,10 @@ def match_images(feats, pairs: np.ndarray, cfg: PipelineConfig):
                 ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
             )
         else:
-            res = matching.match_pairs_float(
+            res = matching.match_pairs_float_auto(
                 feats.desc, feats.kp.mask, jnp.asarray(pairs),
                 ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
+                kernel=cfg.match.kernel,
             )
         out["matches"] = int(np.asarray(res.valid).sum())
     return res

@@ -102,6 +102,29 @@ def match_pairs_float(descs: jax.Array, masks: jax.Array, pairs: jax.Array, *,
     return jax.vmap(one)(pairs)  # fields have leading (Np,) axis
 
 
+def match_pairs_float_auto(descs: jax.Array, masks: jax.Array,
+                           pairs: jax.Array, *, ratio: float = 0.8,
+                           cross_check: bool = True,
+                           kernel: str = "auto") -> MatchResult:
+    """Backend-dispatched pairwise matching (the production entry).
+
+    kernel="pallas" forces the VMEM-tile kernel (pallas_pairs.py — one MXU
+    tile per pair, no HBM (Np,K,K) tensor), "dense" the jnp oracle; "auto"
+    picks pallas on TPU when shapes are tile-aligned.
+    """
+    K, D = descs.shape[1], descs.shape[2]
+    aligned = K % 8 == 0 and D % 128 == 0
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto" and aligned and jax.default_backend() == "tpu")
+    if use_pallas:
+        from .pallas_pairs import match_pairs_float_pallas
+
+        return match_pairs_float_pallas(descs, masks, pairs, ratio=ratio,
+                                        cross_check=cross_check)
+    return match_pairs_float(descs, masks, pairs, ratio=ratio,
+                             cross_check=cross_check)
+
+
 @partial(jax.jit, static_argnames=("ratio", "cross_check"))
 def match_pairs_hamming(bits: jax.Array, masks: jax.Array, pairs: jax.Array, *,
                         ratio: float = 0.8, cross_check: bool = True) -> MatchResult:

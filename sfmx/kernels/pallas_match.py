@@ -36,8 +36,10 @@ def _match_kernel(a_ref, b_ref, s1_ref, i1_ref, s2_ref,
         s2_sc[:] = jnp.full_like(s2_sc, NEG)
         i1_sc[:] = jnp.zeros_like(i1_sc)
 
-    a = a_ref[:]                       # (TA, D) bf16
-    b = b_ref[:]                       # (TB, D) bf16
+    # refs are f32; cast to bf16 IN-kernel — this Mosaic build rejects
+    # matmuls on operands DMA'd in as bf16 blocks ("Bad lhs type")
+    a = a_ref[:].astype(jnp.bfloat16)  # (TA, D)
+    b = b_ref[:].astype(jnp.bfloat16)  # (TB, D)
     sim = jnp.dot(a, b.T, preferred_element_type=jnp.float32)  # (TA, TB)
 
     TB = sim.shape[1]
@@ -80,8 +82,8 @@ def match_top2(desc_a: jax.Array, desc_b: jax.Array, *,
     Ka, D = desc_a.shape
     Kb, _ = desc_b.shape
     assert Ka % tile_a == 0 and Kb % tile_b == 0, (Ka, Kb, tile_a, tile_b)
-    a16 = desc_a.astype(jnp.bfloat16)
-    b16 = desc_b.astype(jnp.bfloat16)
+    a16 = desc_a.astype(jnp.float32)
+    b16 = desc_b.astype(jnp.float32)
 
     grid = (Ka // tile_a, Kb // tile_b)
     out_shape = [
