@@ -10,8 +10,9 @@ room walkthroughs and synthetic corridor maps stand in; see SURVEY §6).
   1  small indoor set: build map from 12 rendered frames + localize queries (ATE)
   2  longer sequence: 32-frame walkthrough, per-frame PnP localization
   3  global BA at 512 cameras / 20k points / 200k observations (LM iters/s)
-  4  partitioned map: 2048-camera corridor, block partition + obs-sharded
-     distributed BA on an 8-device mesh (halo fraction, LM iters/s)
+  4  partitioned map: 2048-camera corridor, POINT-SHARDED block BA
+     (dist/block_ba.py: 1/n cameras+points+obs per device, halo all_gather
+     + ring reduce-scatter) on an 8-device mesh (halo fraction, LM iters/s)
   5  multi-session merge: 3 overlapping sessions -> joint BA (ATE)
 """
 from __future__ import annotations

@@ -61,26 +61,47 @@ def cmd_build_map(args):
     extra = {"image_paths": image_paths, "stats": {k: v for k, v in stats.items()
                                                    if isinstance(v, (int, float, list))}}
     save_scene(args.output, scene, extra=extra)
-    # persist per-feature descriptors + obs_feat for localization-map building
+    # persist per-feature descriptors + obs_feat for model merging (C12)
     np.savez_compressed(
         args.output + ".feats.npz",
         desc=np.asarray(feats.desc), kp_uv=np.asarray(feats.kp.uv),
         kp_mask=np.asarray(feats.kp.mask), obs_feat=tt.obs_feat,
         desc_bits=np.asarray(feats.desc_bits),
     )
+    # aggregate + persist the SERVING map once (landmark descriptors, VLAD
+    # vocabulary, keyframe global descriptors, majority-vote bits) so
+    # localize/serve start by mmap-loading it — never re-running k-means
+    from ..localize import build_localization_map
+    from ..mapstore import save_localization_map
+
+    bits = np.asarray(feats.desc_bits)
+    lmap = build_localization_map(
+        scene, np.asarray(feats.desc), tt.obs_feat,
+        kp_mask=np.asarray(feats.kp.mask),
+        feat_bits=bits if bits.size else None)
+    save_localization_map(args.output + ".lmap", lmap)
     print(json.dumps({"registered": stats["n_registered"], "points": stats["n_points"],
                       "output": args.output}))
 
 
 def _load_lmap(map_path: str, *, binary: bool = False):
-    from ..localize import build_localization_map
-    from ..mapstore import load_scene
+    from ..mapstore import (has_localization_map, load_localization_map,
+                            load_scene)
 
     scene = load_scene(map_path)
+    lmap_path = map_path + ".lmap"
+    if has_localization_map(lmap_path):
+        lmap = load_localization_map(lmap_path)
+        if not binary or lmap.lm_bits is not None:
+            return scene, lmap
+        # binary serving requested but the store predates bits: fall through
+    # legacy path: derive the serving map from raw per-feature descriptors
+    from ..localize import build_localization_map
+
     z = np.load(map_path + ".feats.npz")
     bits = z["desc_bits"] if (binary and "desc_bits" in z.files) else None
     lmap = build_localization_map(scene, z["desc"], z["obs_feat"],
-                                  feat_bits=bits)
+                                  kp_mask=z["kp_mask"], feat_bits=bits)
     return scene, lmap
 
 

@@ -27,8 +27,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.masking import NEG_INF
-
 NEG = -1e30
 
 
@@ -122,5 +120,9 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
     if cross_check:
         back = jnp.take_along_axis(j1, i1, axis=1)       # (Np, K)
         ok &= back == jnp.arange(K)[None, :]
-    score = jnp.where(ok, s1, NEG_INF)
-    return MatchResult(idx=i1, valid=ok, score=score)
+    # MatchResult contract (matching.MatchResult): score is the raw best
+    # similarity for every row, valid is the accept mask — consumers that
+    # read score without gating on valid see the same values as the dense
+    # matcher.  (Zero-masked rows yield s1=0, same as a dense masked row
+    # would only up to the -inf convention; such rows are never valid.)
+    return MatchResult(idx=i1, valid=ok, score=s1)

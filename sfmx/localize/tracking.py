@@ -90,7 +90,10 @@ class SequenceLocalizer:
                 self.lmap, q_desc, q_uv, q_mask, self.intr, key,
                 prior_center=jnp.asarray(st.center, jnp.float32),
                 prior_radius=c.radius, **self._kw())
-            via_prior = float(res.confidence) > 0.0
+            # Only an ACCEPTED prior-gated pose counts as tracking; a weak
+            # result (0 < conf < min_conf) must still fall through to global
+            # relocalization, which searches the whole map.
+            via_prior = float(res.confidence) >= c.min_conf
         if res is None or not via_prior:
             # global relocalization (also the cold-start path)
             res = localize_query(self.lmap, q_desc, q_uv, q_mask, self.intr,

@@ -80,22 +80,18 @@ def new_scene(n_cams: int, n_points: int, n_obs: int, intr: jax.Array,
     )
 
 
-def save_scene(path: str | Path, scene: Scene, extra: dict | None = None):
-    """Write the v2 columnar store: ``path/`` with raw .npy columns + manifest.
+def save_columns(path: str | Path, cols: dict[str, np.ndarray],
+                 manifest: dict):
+    """Atomically write a columnar directory: raw ``.npy`` per column + the
+    given manifest (temp dir + rename — a crash never leaves a half store).
 
-    Written atomically (temp dir + rename) so a crash mid-save never leaves a
-    half-map at ``path``; a legacy v1 ``.npz`` file already at ``path`` is
-    replaced.
+    Shared by the Scene store, the feature store, and the LocalizationMap
+    store; raw .npy columns re-open with ``np.load(..., mmap_mode="r")``.
     """
     path = Path(path)
-    cols = {f.name: np.asarray(getattr(scene, f.name)) for f in dataclasses.fields(Scene)}
-    manifest = {
-        "format_version": FORMAT_VERSION,
-        "capacities": {"cams": cols["cam_R"].shape[0], "points": cols["X"].shape[0],
-                        "obs": cols["obs_cam"].shape[0], "intr": cols["intr"].shape[0]},
-        "columns": {k: {"shape": list(v.shape), "dtype": str(v.dtype)} for k, v in cols.items()},
-        "extra": extra or {},
-    }
+    manifest = dict(manifest)
+    manifest["columns"] = {k: {"shape": list(v.shape), "dtype": str(v.dtype)}
+                           for k, v in cols.items()}
     tmp = path.with_name(path.name + f".tmp-{os.getpid()}")
     if tmp.exists():
         shutil.rmtree(tmp)
@@ -106,11 +102,41 @@ def save_scene(path: str | Path, scene: Scene, extra: dict | None = None):
     if path.is_dir():
         shutil.rmtree(path)
     elif path.exists():
-        path.unlink()  # legacy v1 single-file map being overwritten
+        path.unlink()  # legacy v1 single-file store being overwritten
         sidecar = path.with_suffix(path.suffix + ".manifest.json")
         if sidecar.exists():
             sidecar.unlink()
     os.replace(tmp, path)
+
+
+def load_columns(path: str | Path, *, mmap: bool = True
+                 ) -> dict[str, np.ndarray]:
+    """Load every column recorded in a columnar directory's manifest,
+    mmap'd by default (pages materialize only when touched)."""
+    path = Path(path)
+    man = load_manifest(path)
+    if man is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    mode = "r" if mmap else None
+    return {k: np.load(path / f"{k}.npy", mmap_mode=mode)
+            for k in man["columns"]}
+
+
+def save_scene(path: str | Path, scene: Scene, extra: dict | None = None):
+    """Write the v2 columnar store: ``path/`` with raw .npy columns + manifest.
+
+    Written atomically (temp dir + rename) so a crash mid-save never leaves a
+    half-map at ``path``; a legacy v1 ``.npz`` file already at ``path`` is
+    replaced.
+    """
+    cols = {f.name: np.asarray(getattr(scene, f.name)) for f in dataclasses.fields(Scene)}
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "capacities": {"cams": cols["cam_R"].shape[0], "points": cols["X"].shape[0],
+                        "obs": cols["obs_cam"].shape[0], "intr": cols["intr"].shape[0]},
+        "extra": extra or {},
+    }
+    save_columns(path, cols, manifest)
 
 
 def load_manifest(path: str | Path) -> dict | None:

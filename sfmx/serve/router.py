@@ -120,31 +120,65 @@ class MapShardRouter:
         best_kf = np.asarray(jnp.argmax(scores, axis=-1))
         return self.router_shard[best_kf]
 
-    def localize_batch(self, q_desc, q_uv, q_mask, intr, key,
+    def localize_batch(self, q_desc, q_uv, q_mask, intr, key, q_bits=None,
                        **localize_kw) -> tuple[LocalizeResult, np.ndarray]:
-        """Route, group by shard, localize each group on its shard's device.
+        """Route, group by shard, localize each group with ONE vmapped call.
 
+        Each shard group is padded to a power-of-two bucket (bounding
+        recompiles), stacked, and dispatched as a single jitted+vmapped
+        ``localize_query`` on the shard's device.  All groups are dispatched
+        before ANY host sync, so shard devices run concurrently (JAX async
+        dispatch); results are gathered afterwards and returned in input
+        order.
+
+        intr: (7,) shared or (B,7) per-query intrinsics.
         Returns (results in input order, shard id per query).
         """
         B = q_desc.shape[0]
         shard_of = self.route(q_desc, q_mask)
-        outs: list = [None] * B
+        qd = np.asarray(q_desc)
+        qu = np.asarray(q_uv)
+        qm = np.asarray(q_mask)
+        qb = None if q_bits is None else np.asarray(q_bits)
+        intr_b = np.broadcast_to(
+            np.atleast_2d(np.asarray(intr, np.float32)), (B, 7))
+
+        def _bucket(n: int) -> int:
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+
+        pending = []  # (query indices, device result) per shard group
         for sid in np.unique(shard_of):
-            lmap = self.shards[int(sid)]
-            dev = self.devices[int(sid)]
+            sid = int(sid)
+            lmap, dev = self.shards[sid], self.devices[sid]
             idx = np.flatnonzero(shard_of == sid)
-            keys = jax.random.split(jax.random.fold_in(key, int(sid)), len(idx))
+            n, nb = len(idx), _bucket(len(idx))
+
+            def pad(a):
+                g = a[idx]
+                return np.concatenate([g, np.repeat(g[:1], nb - n, 0)]) \
+                    if n < nb else g
+
+            keys = jax.random.split(jax.random.fold_in(key, sid), nb)
+            args = [jax.device_put(pad(a), dev) for a in (qd, qu, qm, intr_b)]
+            if qb is not None and lmap.lm_bits is not None:
+                bits = jax.device_put(pad(qb), dev)
+                fn = lambda d, u, m, i, k_, bq, _l=lmap: localize_query(
+                    _l, d, u, m, i, k_, q_bits=bq, **localize_kw)
+                res = jax.vmap(fn)(*args, keys, bits)
+            else:
+                fn = lambda d, u, m, i, k_, _l=lmap: localize_query(
+                    _l, d, u, m, i, k_, **localize_kw)
+                res = jax.vmap(fn)(*args, keys)
+            pending.append((idx, res))  # no host sync: keep devices busy
+
+        outs: list = [None] * B
+        for idx, res in pending:
+            res_np = jax.tree_util.tree_map(np.asarray, res)
             for j, b in enumerate(idx):
-                # operands placed on the shard's device: the jitted call
-                # runs there (one executable per shard device)
-                res = localize_query(
-                    lmap,
-                    jax.device_put(q_desc[b], dev),
-                    jax.device_put(q_uv[b], dev),
-                    jax.device_put(q_mask[b], dev),
-                    jax.device_put(jnp.asarray(intr), dev), keys[j],
-                    **localize_kw)
-                # to host: results live on different shard devices
-                outs[int(b)] = jax.tree_util.tree_map(np.asarray, res)
+                outs[int(b)] = jax.tree_util.tree_map(
+                    lambda x, _j=j: x[_j], res_np)
         res = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *outs)
         return res, shard_of

@@ -259,12 +259,12 @@ class LocalizationService:
                   sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers,
                   ham_thresh=lc.ham_thresh, pnp_solver=lc.pnp_solver)
         if isinstance(lmap, MapShardRouter):
-            # multi-device map: route each query to its shard's device
+            # multi-device map: route each query to its shard's device; the
+            # full localize kwarg set (incl. pnp_solver/ham_thresh) forwards
+            q_bits = jnp.asarray(pad(np.stack([r.q_bits for r in reqs]))) \
+                if binary else None
             res_b, _ = lmap.localize_batch(
-                q_desc, q_uv, q_mask, jnp.asarray(intr0), k,
-                top_k_kf=lc.top_k_kf, m_cap=lc.m_cap,
-                k_hypotheses=lc.k_hypotheses, px_thresh=lc.px_thresh,
-                sim_thresh=lc.sim_thresh, min_inliers=lc.min_inliers)
+                q_desc, q_uv, q_mask, intr_b, k, q_bits=q_bits, **kw)
         elif binary:
             q_bits = jnp.asarray(pad(np.stack([r.q_bits for r in reqs])))
             fn = lambda d, u, m, ki, kq, bq: localize_query(

@@ -49,6 +49,10 @@ def test_cli_build_localize_evaluate(image_dirs, tmp_path, capsys):
     assert rec["registered"] >= 7
     assert rec["points"] > 100
     assert out.exists() and (tmp_path / "map.npz.feats.npz").exists()
+    # the serving map is persisted at build time (loaded mmap'd by
+    # localize/serve — no vocabulary retraining at startup)
+    from sfmx.mapstore import has_localization_map
+    assert has_localization_map(tmp_path / "map.npz.lmap")
 
     main(["evaluate", str(out)])
     report = json.loads(capsys.readouterr().out)

@@ -58,3 +58,36 @@ def test_routes_to_owning_shard_and_localizes(router_setup):
         err = np.linalg.norm(np.asarray(res.center[b])
                              - np.asarray(scene.centers[c]))
         assert err < 0.05, (c, err)
+
+
+def test_batch_is_one_device_call_per_shard_group(router_setup, monkeypatch):
+    """The router must vmap each shard's query group into ONE localize
+    dispatch (not one per query), and dispatch every group before syncing."""
+    import sfmx.serve.router as router_mod
+
+    sc, scene, lmap, router, (uv, desc, mask) = router_setup
+    intr = jnp.asarray(sc.intrinsics, jnp.float32)
+    cams = np.flatnonzero(np.asarray(scene.cam_alive))[:8]
+    q_desc, q_uv, q_mask = (jnp.asarray(desc[cams]), jnp.asarray(uv[cams]),
+                            jnp.asarray(mask[cams]))
+
+    calls = []
+    real = router_mod.localize_query
+
+    def counting(lmap_, d, *a, **kw):
+        calls.append(d.shape)  # (K,D) per vmap lane; traced ONCE per group
+        return real(lmap_, d, *a, **kw)
+
+    monkeypatch.setattr(router_mod, "localize_query", counting)
+    res, shard_of = router.localize_batch(q_desc, q_uv, q_mask, intr,
+                                          jax.random.PRNGKey(1))
+    n_groups = len(np.unique(shard_of))
+    # vmap traces the inner fn once per group -> exactly n_groups records,
+    # NOT one per query
+    assert len(calls) == n_groups, (len(calls), n_groups)
+    assert res.center.shape == (8, 3)
+    # results still per-query accurate
+    for b, c in enumerate(cams):
+        err = np.linalg.norm(np.asarray(res.center[b])
+                             - np.asarray(scene.centers[c]))
+        assert err < 0.05, (c, err)
