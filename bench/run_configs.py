@@ -223,7 +223,8 @@ def config4():
     (X_l,) = scatter_pts(layout, X)
     step = block_ba.make_block_ba_step(mesh, n_blocks=n_dev, hcap=layout.hcap,
                                        iters=iters, cg_iters=25)
-    argsba = (jnp.asarray(intr), jnp.asarray(k_l), jnp.asarray(R_l),
+    argsba = (jnp.asarray(intr), jnp.asarray(1e-4, jnp.float32),
+              jnp.asarray(k_l), jnp.asarray(R_l),
               jnp.asarray(t_l), jnp.asarray(X_l), jnp.asarray(fixed_l),
               jnp.asarray(layout.obs_cam_l), jnp.asarray(layout.obs_pt_ext),
               jnp.asarray(layout.obs_uv), jnp.asarray(layout.obs_w),

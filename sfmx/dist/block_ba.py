@@ -48,8 +48,8 @@ def _psum(x):
     return jax.lax.psum(x, AXIS)
 
 
-def _block_lm_scan(intr, k_idx, R, t, X, fixed, cam_l, pt_ext, uv, w_valid,
-                   halo_idx, halo_mask, *, iters: int, cg_iters: int,
+def _block_lm_scan(intr, lam0, k_idx, R, t, X, fixed, cam_l, pt_ext, uv,
+                   w_valid, halo_idx, halo_mask, *, iters: int, cg_iters: int,
                    huber_px: float, n_blocks: int, hcap: int):
     """Per-shard LM scan body (runs inside shard_map over AXIS).
 
@@ -197,9 +197,9 @@ def _block_lm_scan(intr, k_idx, R, t, X, fixed, cam_l, pt_ext, uv, w_valid,
         return (Rn, tn, Xn, lam2, cn), cn
 
     cost0 = eval_cost(R, t, gather_ext(X))
-    init = (R, t, X, jnp.asarray(1e-4, X.dtype), cost0)
-    (R, t, X, _, _), costs = jax.lax.scan(lm_iter, init, None, length=iters)
-    return R, t, X, jnp.concatenate([cost0[None], costs])
+    init = (R, t, X, jnp.asarray(lam0, X.dtype).reshape(()), cost0)
+    (R, t, X, lam, _), costs = jax.lax.scan(lm_iter, init, None, length=iters)
+    return R, t, X, jnp.concatenate([cost0[None], costs]), lam
 
 
 def make_block_ba_step(mesh: Mesh, *, n_blocks: int, hcap: int,
@@ -208,18 +208,20 @@ def make_block_ba_step(mesh: Mesh, *, n_blocks: int, hcap: int,
     """Build the jitted point-sharded BA solver for a mesh.
 
     Inputs are the stacked per-device arrays from ``dist.block_layout``:
-    intr replicated; k_idx/R/t/fixed stacked (n*Cb,...); X (n*Pb,3);
-    cam_l/pt_ext/uv/w (n*Ob,...); halo_idx/halo_mask (n*Hcap,).
-    Returns (R, t, X, costs) in the same stacked layout.
+    intr and lam0 (initial LM damping scalar) replicated; k_idx/R/t/fixed
+    stacked (n*Cb,...); X (n*Pb,3); cam_l/pt_ext/uv/w (n*Ob,...);
+    halo_idx/halo_mask (n*Hcap,).
+    Returns (R, t, X, costs, lam) — state in the same stacked layout plus
+    the final damping, so a chunked caller resumes the trust region.
     """
     fn = partial(_block_lm_scan, iters=iters, cg_iters=cg_iters,
                  huber_px=huber_px, n_blocks=n_blocks, hcap=hcap)
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                   P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
     )
     return jax.jit(sharded)
 
@@ -228,12 +230,21 @@ def ba_solve_blocked(intr, k_idx, R, t, X, cam_id, pt_id, uv, w,
                      fixed_cam_mask, mesh: Mesh | None = None, *,
                      layout: BlockLayout | None = None,
                      iters: int = 10, cg_iters: int = 30,
-                     huber_px: float = 4.0):
+                     huber_px: float = 4.0,
+                     ckpt_path=None, ckpt_every: int = 10):
     """Convenience wrapper: global scene in, global scene out.
 
     Builds the block layout for the mesh (or reuses ``layout``), scatters the
     global arrays into per-device blocks, runs the sharded solve, and maps
     results back to global camera/point order.
+
+    ckpt_path: when given, the solve runs in ``ckpt_every``-iteration chunks,
+    writing an LM-state checkpoint (global R/t/X + damping + iteration
+    count, solvers.ba_ckpt format) between chunks and resuming from an
+    existing checkpoint — the SURVEY §5.3 multi-host fault-recovery story
+    for the long-running distributed solve.  The block layout and jitted
+    step are built ONCE and reused across chunks; state stays in the stacked
+    device layout between chunks (gathered only to write the checkpoint).
 
     Returns (R, t, X, costs, stats) where stats reports halo fraction,
     per-block load and per-device state sizes (the quantities SURVEY §7.4
@@ -248,18 +259,55 @@ def ba_solve_blocked(intr, k_idx, R, t, X, cam_id, pt_id, uv, w,
         layout = build_block_layout(np.asarray(cam_id), np.asarray(pt_id),
                                     np.asarray(uv), np.asarray(w),
                                     n_cams, n_pts, n_blocks)
+
+    lam = 1e-4
+    start = 0
+    if ckpt_path is not None:
+        from pathlib import Path
+
+        from ..solvers import ba_ckpt
+
+        if Path(ckpt_path).exists():
+            R, t, X, lam, start = ba_ckpt.load_ckpt(ckpt_path)
+
     k_l, R_l, t_l, fixed_l = scatter_cams(layout, k_idx, R, t, fixed_cam_mask)
     fixed_l = fixed_l | (layout.cam_global < 0)   # pads held fixed (gauge-safe)
     (X_l,) = scatter_pts(layout, X)
+    intr_j = jnp.asarray(intr)
+    static = (jnp.asarray(k_l), jnp.asarray(fixed_l),
+              jnp.asarray(layout.obs_cam_l), jnp.asarray(layout.obs_pt_ext),
+              jnp.asarray(layout.obs_uv), jnp.asarray(layout.obs_w),
+              jnp.asarray(layout.halo_idx), jnp.asarray(layout.halo_mask))
 
-    step = make_block_ba_step(mesh, n_blocks=n_blocks, hcap=layout.hcap,
-                              iters=iters, cg_iters=cg_iters, huber_px=huber_px)
-    R_s, t_s, X_s, costs = step(
-        jnp.asarray(intr), jnp.asarray(k_l), jnp.asarray(R_l),
-        jnp.asarray(t_l), jnp.asarray(X_l), jnp.asarray(fixed_l),
-        jnp.asarray(layout.obs_cam_l), jnp.asarray(layout.obs_pt_ext),
-        jnp.asarray(layout.obs_uv), jnp.asarray(layout.obs_w),
-        jnp.asarray(layout.halo_idx), jnp.asarray(layout.halo_mask))
+    def run_chunk(step, R_l, t_l, X_l, lam):
+        k_j, fixed_j, cam_j, pt_j, uv_j, w_j, hi_j, hm_j = static
+        return step(intr_j, jnp.asarray(lam, jnp.float32), k_j,
+                    jnp.asarray(R_l), jnp.asarray(t_l), jnp.asarray(X_l),
+                    fixed_j, cam_j, pt_j, uv_j, w_j, hi_j, hm_j)
+
+    mk = partial(make_block_ba_step, mesh, n_blocks=n_blocks,
+                 hcap=layout.hcap, cg_iters=cg_iters, huber_px=huber_px)
+    if ckpt_path is None:
+        R_s, t_s, X_s, costs, _ = run_chunk(mk(iters=iters), R_l, t_l, X_l, lam)
+    else:
+        step = mk(iters=ckpt_every)
+        costs_all = []
+        it = start
+        R_s, t_s, X_s = R_l, t_l, X_l
+        while it < iters:
+            n = min(ckpt_every, iters - it)
+            chunk_step = step if n == ckpt_every else mk(iters=n)
+            R_s, t_s, X_s, costs, lam = run_chunk(chunk_step, R_s, t_s, X_s, lam)
+            lam = float(lam)
+            # drop the duplicate leading cost0 on continuation chunks
+            c = np.asarray(costs)
+            costs_all.extend(c.tolist() if not costs_all else c[1:].tolist())
+            it += n
+            R_g, t_g = gather_cams(layout, n_cams, R_s, t_s)
+            (X_g,) = gather_pts(layout, n_pts, X_s)
+            ba_ckpt.save_ckpt(ckpt_path, R_g, t_g, X_g, lam, it)
+        costs = jnp.asarray(costs_all)
+
     R_g, t_g = gather_cams(layout, n_cams, R_s, t_s)
     (X_g,) = gather_pts(layout, n_pts, X_s)
     return (jnp.asarray(R_g), jnp.asarray(t_g), jnp.asarray(X_g),

@@ -47,6 +47,10 @@ class ReconConfig:
     min_track_views: int = 2
     batch_resection: bool = True   # resect ALL eligible cams per round (scalable)
     refine_intrinsics: tuple | None = None  # e.g. ("f","k1"): joint final BA
+    # final-BA fault recovery (SURVEY §5.3): when set, the final global BA
+    # runs in checkpointed chunks and resumes from ckpt after a crash
+    final_ba_ckpt: str | None = None
+    final_ba_ckpt_every: int = 10
     seed: int = 0
 
 
@@ -306,20 +310,31 @@ def reconstruct(
         X[newly] = Xn[newly]
         X_alive[newly] = True
 
-    def run_ba(iters):
+    def run_ba(iters, ckpt_path=None):
         nonlocal cam_R, cam_t, X
         alive = obs_alive_mask()
         w = alive.astype(np.float32)
         fixed = np.zeros(C, bool)
         fixed[~registered] = True
         fixed[np.flatnonzero(registered)[0]] = True
-        R2, t2, X2, costs = lm.ba_solve(
+        ba_args = (
             intr_j, jnp.asarray(cam_k, jnp.int32),
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
             jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uv, jnp.float32),
-            jnp.asarray(w), jnp.asarray(fixed),
-            iters=iters, cg_iters=cfg.cg_iters, huber_px=cfg.huber_px,
-        )
+            jnp.asarray(w), jnp.asarray(fixed))
+        if ckpt_path is not None:
+            # checkpointed final solve: chunks + resume (SURVEY §5.3)
+            from ..solvers import ba_ckpt
+
+            R2, t2, X2, costs, _ = ba_ckpt.ba_solve_checkpointed(
+                *ba_args, total_iters=iters,
+                ckpt_every=cfg.final_ba_ckpt_every, ckpt_path=ckpt_path,
+                cg_iters=cfg.cg_iters, huber_px=cfg.huber_px)
+        else:
+            R2, t2, X2, costs = lm.ba_solve(
+                *ba_args,
+                iters=iters, cg_iters=cfg.cg_iters, huber_px=cfg.huber_px,
+            )
         # np.array (copy): jax->numpy views are read-only, host state is mutable
         cam_R = np.array(R2)
         cam_t = np.array(t2)
@@ -479,7 +494,7 @@ def reconstruct(
         if callbacks:
             callbacks(registered.copy(), X_alive.copy())
 
-    run_ba(cfg.final_ba_iters)
+    run_ba(cfg.final_ba_iters, ckpt_path=cfg.final_ba_ckpt)
 
     if cfg.refine_intrinsics:
         # final joint pose+point+intrinsics LM (self-calibration; the

@@ -40,8 +40,15 @@ def ba_solve_checkpointed(
 ):
     """Run BA in ckpt_every-sized chunks, checkpointing between chunks.
 
-    Resumes automatically if ckpt_path exists.  ba_fn defaults to lm.ba_solve
-    (pass a mesh-sharded step from dist.dist_ba for distributed runs).
+    Resumes automatically if ckpt_path exists; the LM damping (trust-region
+    state) is threaded through every chunk AND through resume, so a resumed
+    solve continues exactly where the crashed one left off.
+
+    ba_fn defaults to lm.ba_solve; a custom ba_fn must accept
+    ``(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, fixed_cam_mask,
+    iters=n, init_lambda=lam)`` and return ``(R, t, X, costs, lam)``.
+    (dist.block_ba.ba_solve_blocked has checkpointing built in — pass it a
+    ckpt_path directly rather than wrapping it here.)
     """
     from . import lm
 
@@ -56,14 +63,16 @@ def ba_solve_checkpointed(
     while it < total_iters:
         n = min(ckpt_every, total_iters - it)
         if ba_fn is None:
-            R, t, X, costs = lm.ba_solve(
+            R, t, X, costs, lam = lm.ba_solve(
                 intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid,
                 fixed_cam_mask, iters=n, cg_iters=cg_iters, huber_px=huber_px,
-                init_lambda=lam,
+                init_lambda=lam, return_lam=True,
             )
         else:
-            R, t, X, costs = ba_fn(intr, k_idx, R, t, X, cam_id, pt_id, uv,
-                                   w_valid, fixed_cam_mask)
+            R, t, X, costs, lam = ba_fn(intr, k_idx, R, t, X, cam_id, pt_id,
+                                        uv, w_valid, fixed_cam_mask,
+                                        iters=n, init_lambda=lam)
+        lam = float(lam)
         costs_all.extend(np.asarray(costs).tolist())
         it += n
         save_ckpt(ckpt_path, R, t, X, lam, it)

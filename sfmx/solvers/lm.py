@@ -144,7 +144,8 @@ def _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, delta):
     return robust_cost(r2, w_valid, delta)
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap"))
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap",
+                                   "return_lam"))
 def ba_solve(
     intr: jax.Array,      # (I,7)
     k_idx: jax.Array,     # (C,) int32
@@ -163,8 +164,12 @@ def ba_solve(
     init_lambda: float = 1e-4,
     tp_cap: int | None = None,
     tc_cap: int | None = None,
+    return_lam: bool = False,
 ):
     """Run `iters` LM iterations; returns (R, t, X, costs[iters+1]).
+
+    return_lam=True appends the final LM damping to the return tuple so a
+    chunked/checkpointed caller can resume with the trust region intact.
 
     ``huber_px`` is given in pixels and converted to the normalized-residual
     domain with the mean focal length.
@@ -261,7 +266,8 @@ def ba_solve(
         return BAState(Rn, tn, Xn, lam2, cn), cn
 
     state, costs = jax.lax.scan(lm_iter, state, None, length=iters)
-    return state.R, state.t, state.X, jnp.concatenate([cost0[None], costs])
+    out = (state.R, state.t, state.X, jnp.concatenate([cost0[None], costs]))
+    return out + (state.lam,) if return_lam else out
 
 
 def reprojection_rmse(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid):

@@ -132,3 +132,45 @@ def test_block_ba_parity_orbit(mesh8):
         jnp.asarray(fixed), iters=12, cg_iters=40)
     assert float(costs[-1]) < float(costs[0]) * 1e-2
     np.testing.assert_allclose(float(costs[-1]), float(costs_ref[-1]), rtol=0.05)
+
+
+def test_block_ba_checkpoint_resume(mesh8, tmp_path):
+    """Chunked checkpointing inside the distributed solve (SURVEY §5.3):
+    an interrupted run resumed from its checkpoint matches the
+    uninterrupted chunked run, including the threaded LM damping."""
+    from sfmx.solvers import ba_ckpt
+
+    intr, R, t, X, cam_id, pt_id, uv, w = _corridor(C=32, P=800,
+                                                    obs_per_cam=40)
+    C = len(R)
+    rng = np.random.default_rng(5)
+    X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
+    t0 = t + 0.02 * rng.standard_normal(t.shape).astype(np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+    args = (intr, np.zeros(C, np.int32), R, t0, X0, cam_id, pt_id, uv, w,
+            fixed, mesh8)
+
+    # uninterrupted chunked run
+    p_a = tmp_path / "a.ckpt.npz"
+    R_a, t_a, X_a, costs_a, _ = block_ba.ba_solve_blocked(
+        *args, iters=8, cg_iters=30, ckpt_path=p_a, ckpt_every=4)
+    assert len(np.asarray(costs_a)) == 9  # cost0 + 8 iterations
+
+    # "crash" after the first chunk: run 4 iters, then resume to 8
+    p_b = tmp_path / "b.ckpt.npz"
+    block_ba.ba_solve_blocked(*args, iters=4, cg_iters=30,
+                              ckpt_path=p_b, ckpt_every=4)
+    _, _, _, lam_mid, it_mid = ba_ckpt.load_ckpt(p_b)
+    assert it_mid == 4
+    assert lam_mid != pytest.approx(1e-4)  # damping evolved and was saved
+    R_b, t_b, X_b, costs_b, _ = block_ba.ba_solve_blocked(
+        *args, iters=8, cg_iters=30, ckpt_path=p_b, ckpt_every=4)
+    assert len(np.asarray(costs_b)) == 5  # only the remaining chunk ran
+
+    # resumed == uninterrupted (same chunking, same threaded lam)
+    np.testing.assert_allclose(np.asarray(R_b), np.asarray(R_a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(X_b), np.asarray(X_a), atol=1e-5)
+    np.testing.assert_allclose(float(costs_b[-1]), float(costs_a[-1]),
+                               rtol=1e-5)

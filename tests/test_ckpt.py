@@ -126,3 +126,86 @@ def test_sigkill_fault_injection(tmp_path):
     final = float(toks[toks.index("FINAL") + 1])
     assert ran == 8, f"did not resume from checkpoint: ran {ran}"
     assert np.isfinite(final) and final <= first, (first, final)
+
+
+@pytest.mark.slow
+def test_sigkill_block_ba_resume(tmp_path):
+    """SIGKILL a POINT-SHARDED block-BA worker mid-solve on the 8-device
+    mesh, restart it, assert it resumes from the checkpoint and converges
+    to the uninterrupted chunked result (SURVEY §5.3 distributed story)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    worker = textwrap.dedent("""
+        import os, sys, time
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import numpy as np
+        import sfmx.solvers.ba_ckpt as bc
+        from sfmx.dist import block_ba, mesh as meshlib
+        from tests.test_block_ba import _corridor
+
+        ckpt = sys.argv[1]
+        slow = len(sys.argv) > 2 and sys.argv[2] == "slow"
+        orig_save = bc.save_ckpt
+        def save_and_maybe_stall(*a, **kw):
+            orig_save(*a, **kw)
+            if slow:
+                print("CKPT_WRITTEN", flush=True)
+                time.sleep(60)   # window for the kill
+        bc.save_ckpt = save_and_maybe_stall  # block_ba resolves it by module attr
+        mesh = meshlib.make_mesh(block_ba.AXIS)
+        intr, R, t, X, cam_id, pt_id, uv, w = _corridor(C=32, P=800, obs_per_cam=40)
+        rng = np.random.default_rng(5)
+        X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
+        t0 = t + 0.02 * rng.standard_normal(t.shape).astype(np.float32)
+        fixed = np.zeros(len(R), bool); fixed[0] = True
+        Rg, tg, Xg, costs, stats = block_ba.ba_solve_blocked(
+            intr, np.zeros(len(R), np.int32), R, t0, X0, cam_id, pt_id, uv,
+            w, fixed, mesh, iters=8, cg_iters=20, ckpt_path=ckpt, ckpt_every=4)
+        c = np.asarray(costs)
+        _, _, _, lam, it = bc.load_ckpt(ckpt)
+        print("IT", it, "NCOSTS", len(c), "FIRST", float(c[0]),
+              "FINAL", float(c[-1]), flush=True)
+    """)
+    script = tmp_path / "block_worker.py"
+    script.write_text(worker)
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+                "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))})
+    ckpt = str(tmp_path / "blockba.ckpt.npz")
+
+    # run 1: stalls after the first chunk's checkpoint; SIGKILL it there
+    p = subprocess.Popen([sys.executable, str(script), ckpt, "slow"], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+    t0 = time.time()
+    line = ""
+    while time.time() - t0 < 300:
+        line = p.stdout.readline()
+        if "CKPT_WRITTEN" in line:
+            break
+    try:
+        assert "CKPT_WRITTEN" in line, "worker never wrote a checkpoint"
+        assert os.path.exists(ckpt)
+    finally:
+        p.send_signal(signal.SIGKILL)
+        p.wait(timeout=30)
+
+    # run 2: must resume from the checkpoint (only the second chunk runs)
+    out = subprocess.run([sys.executable, str(script), ckpt], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout + out.stderr
+    toks = out.stdout.split()
+    ncosts = int(toks[toks.index("NCOSTS") + 1])
+    first = float(toks[toks.index("FIRST") + 1])
+    final = float(toks[toks.index("FINAL") + 1])
+    assert ncosts == 5, f"did not resume from checkpoint: {ncosts} costs"
+    assert np.isfinite(final) and final <= first, (first, final)
