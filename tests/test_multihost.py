@@ -60,10 +60,9 @@ WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_two_process_distributed_ba(tmp_path):
-    script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+def _run_two_procs(tmp_path, worker_src, name):
+    script = tmp_path / name
+    script.write_text(worker_src)
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
@@ -83,3 +82,83 @@ def test_two_process_distributed_ba(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} OK" in out
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed_ba(tmp_path):
+    _run_two_procs(tmp_path, WORKER, "worker.py")
+
+
+# Point-sharded block BA across a REAL process boundary: the halo
+# all_gather and ring reduce-scatter cross processes here — exactly the
+# collectives DCN would carry at configs 4-5 (SURVEY §5.7/§5.8).
+BLOCK_WORKER = textwrap.dedent("""
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(coordinator_address="localhost:12422",
+                               num_processes=2, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sfmx.dist import block_ba, mesh as meshlib
+    from sfmx.dist.block_layout import (build_block_layout, gather_cams,
+                                        gather_pts, scatter_cams, scatter_pts)
+    from sfmx.solvers import lm
+    from tests.test_block_ba import _corridor
+
+    assert jax.device_count() == 8 and jax.process_count() == 2
+    mesh = meshlib.make_mesh(block_ba.AXIS)
+
+    intr, R, t, X, cam_id, pt_id, uv, w = _corridor(C=32, P=800, obs_per_cam=40)
+    C, Pn = len(R), len(X)
+    rng = np.random.default_rng(5)
+    X0 = X + 0.05 * rng.standard_normal(X.shape).astype(np.float32)
+    t0 = t + 0.02 * rng.standard_normal(t.shape).astype(np.float32)
+    fixed = np.zeros(C, bool); fixed[0] = True
+
+    # every process builds the SAME layout from the same global arrays
+    lay = build_block_layout(cam_id, pt_id, uv, w, C, Pn, 8)
+    k_l, R_l, t_l, fixed_l = scatter_cams(lay, np.zeros(C, np.int32), R, t0, fixed)
+    fixed_l = fixed_l | (lay.cam_global < 0)
+    (X_l,) = scatter_pts(lay, X0)
+
+    sh = NamedSharding(mesh, P(block_ba.AXIS))
+    def put(a):
+        # each process contributes its 4 local blocks' rows
+        a = np.asarray(a)
+        n = a.shape[0] // 2
+        return jax.make_array_from_process_local_data(
+            sh, a[pid * n:(pid + 1) * n])
+    args = tuple(put(a) for a in (
+        k_l, R_l, t_l, X_l, fixed_l, lay.obs_cam_l, lay.obs_pt_ext,
+        lay.obs_uv, lay.obs_w, lay.halo_idx, lay.halo_mask))
+
+    step = block_ba.make_block_ba_step(mesh, n_blocks=8, hcap=lay.hcap,
+                                       iters=6, cg_iters=20)
+    R_s, t_s, X_s, costs, lam = step(
+        jnp.asarray(intr), jnp.asarray(1e-4, jnp.float32), *args)
+    costs = np.asarray(jax.device_get(costs))
+    assert np.isfinite(costs).all(), costs
+    assert costs[-1] < costs[0] * 0.1, costs
+
+    # parity vs the single-process replicated solver (local jit, no mesh)
+    _, _, _, costs_ref = lm.ba_solve(
+        jnp.asarray(intr), jnp.zeros(C, jnp.int32), jnp.asarray(R),
+        jnp.asarray(t0), jnp.asarray(X0), jnp.asarray(cam_id),
+        jnp.asarray(pt_id), jnp.asarray(uv), jnp.asarray(w),
+        jnp.asarray(fixed), iters=6, cg_iters=20)
+    ref = float(np.asarray(costs_ref)[-1])
+    assert abs(float(costs[-1]) - ref) <= 0.05 * abs(ref), (costs[-1], ref)
+    print(f"proc {pid} OK costs={costs.tolist()}")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_block_ba_parity(tmp_path):
+    """The point-sharded solve (halo all_gather + ring reduce-scatter)
+    crosses a process boundary and matches the replicated solver."""
+    _run_two_procs(tmp_path, BLOCK_WORKER, "block_worker.py")
