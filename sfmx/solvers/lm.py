@@ -145,7 +145,7 @@ def _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, delta):
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap",
-                                   "return_lam"))
+                                   "return_lam", "dense_cg"))
 def ba_solve(
     intr: jax.Array,      # (I,7)
     k_idx: jax.Array,     # (C,) int32
@@ -165,11 +165,17 @@ def ba_solve(
     tp_cap: int | None = None,
     tc_cap: int | None = None,
     return_lam: bool = False,
+    dense_cg: bool = False,
 ):
     """Run `iters` LM iterations; returns (R, t, X, costs[iters+1]).
 
     return_lam=True appends the final LM damping to the return tuple so a
     chunked/checkpointed caller can resume with the trust region intact.
+
+    dense_cg=True (requires tp_cap) runs the PCG with the point-major
+    dense layout + fused Pallas matvec (kernels/segsum.py) — the fast path
+    on TPU where narrow gather/scatter bandwidth is the planes matvec's
+    bottleneck (BASELINE.md round-3 measurement).
 
     ``huber_px`` is given in pixels and converted to the normalized-residual
     domain with the mean focal length.
@@ -196,6 +202,14 @@ def ba_solve(
                if tp_cap else None)
     cam_rows = (schur.build_rows(cam_id, n_cams, tc_cap)
                 if tc_cap else None)
+    if dense_cg:
+        if not tp_cap:
+            raise ValueError("dense_cg requires tp_cap (track-length bound)")
+        from ..kernels import segsum
+
+        dense = segsum.build_dense_obs(pt_id, cam_id, n_pts, n_cams, tp_cap)
+    else:
+        dense = None
 
     cost0 = _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, huber_n)
     state = BAState(R, t, X, jnp.asarray(init_lambda, X.dtype), cost0)
@@ -218,11 +232,18 @@ def ba_solve(
             nbp = schur.assemble_planes(
                 Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
                 pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
-            sysp = schur.reduce_system_planes(nbp, state.lam, pt_sorted=True)
-            dx_c, _ = schur.pcg_planes(sysp, iters=cg_iters,
-                                       fixed_cam_mask=fixed_cam_mask,
-                                       pt_sorted=True)
-            dx_p = schur.solve_points_planes(sysp, dx_c, pt_sorted=True)
+            if dense is not None:
+                sysd = schur.reduce_system_dense(nbp, dense, state.lam)
+                dx_c, _ = schur.pcg_dense(sysd, iters=cg_iters,
+                                          fixed_cam_mask=fixed_cam_mask)
+                dx_p = schur.solve_points_dense(sysd, dx_c)[:n_pts]
+            else:
+                sysp = schur.reduce_system_planes(nbp, state.lam,
+                                                  pt_sorted=True)
+                dx_c, _ = schur.pcg_planes(sysp, iters=cg_iters,
+                                           fixed_cam_mask=fixed_cam_mask,
+                                           pt_sorted=True)
+                dx_p = schur.solve_points_planes(sysp, dx_c, pt_sorted=True)
         else:
             r, Jc, Jp = _jacobians(intr, k_idx, R, t, X, cam_id, pt_id, uv)
             r2 = jnp.sum(r * r, axis=-1)

@@ -676,3 +676,134 @@ def pcg_planes(sys: SchurSystemP, iters: int = 30, fixed_cam_mask=None,
 
     x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, r0, z0, z0))
     return x, jnp.sqrt(jnp.sum(r * r))
+
+
+# ---------------------------------------------------------------------------
+# DENSE point-major pipeline: the fused Pallas matvec (kernels/segsum.py)
+# ---------------------------------------------------------------------------
+# The planes matvec above still pays six narrow gather/scatter passes per CG
+# iteration, which this chip serves at 1-13 GB/s (measured; BASELINE.md
+# round-3 table).  Here the per-obs W blocks are re-packed ONCE per LM
+# iteration into a (tp*18, Pp) point-major dense array and the whole cross
+# term runs as one Pallas kernel call: dense W streams, in-VMEM V^{-1}, MXU
+# one-hot matmuls for the camera gather/scatter.  The same kernel (via its
+# point-side bias input) computes the Schur rhs and the point
+# back-substitution, so the entire reduced-system phase is scatter-free.
+# Measured at config-3 scale: 12.75 -> 0.22 ms per CG iteration.
+
+
+class SchurSystemD(NamedTuple):
+    """Reduced system in the dense point-major layout (kernel-ready)."""
+
+    Wp: jax.Array        # (tp*18, Pp) point-major W blocks
+    camp: jax.Array      # (tp, Pp) camera of each slot
+    vinv16: jax.Array    # (16, Pp) rows 0-8 = damped V^{-1}
+    bp8: jax.Array       # (8, Pp) rows 0-2 = b_p
+    Ud: jax.Array        # (C,6,6)
+    b_red: jax.Array     # (C,6)
+
+    @property
+    def n_cams(self) -> int:
+        return self.Ud.shape[0]
+
+
+def _dense_flags(use_kernel, interpret):
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return use_kernel, interpret
+
+
+def _cross(sysd: SchurSystemD, x8, bias3, tile_p, use_kernel, interpret):
+    from ..kernels import segsum
+
+    if use_kernel:
+        return segsum.schur_cross_matvec(
+            sysd.Wp, sysd.camp, sysd.vinv16, x8, bias3,
+            tp=sysd.camp.shape[0], tile_p=tile_p, interpret=interpret)
+    return segsum.schur_cross_matvec_ref(sysd.Wp, sysd.camp, sysd.vinv16,
+                                         x8, bias3)
+
+
+def _pad_x8(x, cp):
+    return jnp.zeros((8, cp), jnp.float32).at[:6, :x.shape[0]].set(x.T)
+
+
+def reduce_system_dense(nb: NormalBlocksP, dense, lam, *,
+                        tile_p: int = 512, use_kernel: bool | None = None,
+                        interpret: bool | None = None) -> SchurSystemD:
+    """Damp + Schur-reduce into the kernel-ready dense layout.
+
+    ``dense`` is a ``kernels.segsum.DenseObs`` built once per solve from
+    the SAME pt-sorted obs order as ``nb``.
+    """
+    from ..kernels import segsum
+
+    use_kernel, interpret = _dense_flags(use_kernel, interpret)
+    C = nb.U.shape[0]
+    P = nb.V9.shape[0]
+    cp = -(-C // 128) * 128
+    tp, pp = dense.camp.shape
+
+    Wp = segsum.pack_rows(dense, nb.W18)                  # (tp*18, Pp)
+    vinv16 = jnp.zeros((16, pp), jnp.float32).at[:9, :P].set(
+        _damp_inv3_planes(nb.V9, lam).T)
+    bp8 = jnp.zeros((8, pp), jnp.float32).at[:3, :P].set(nb.b_p.T)
+    Ud = _damp(nb.U, lam)
+    sysd = SchurSystemD(Wp, dense.camp, vinv16, bp8, Ud,
+                        b_red=jnp.zeros((C, 6), jnp.float32))
+    # b_red = b_c - scatter_cam(W V^{-1} b_p): the kernel with x=0
+    z8, _ = _cross(sysd, jnp.zeros((8, cp), jnp.float32), bp8,
+                   tile_p, use_kernel, interpret)
+    return sysd._replace(b_red=nb.b_c - z8[:6, :C].T)
+
+
+def solve_points_dense(sysd: SchurSystemD, dx_c: jax.Array, *,
+                       tile_p: int = 512, use_kernel: bool | None = None,
+                       interpret: bool | None = None) -> jax.Array:
+    """dx_p = V^{-1}(b_p - W^T dx_c): the kernel with bias = -b_p."""
+    use_kernel, interpret = _dense_flags(use_kernel, interpret)
+    cp = -(-sysd.n_cams // 128) * 128
+    _, vy8 = _cross(sysd, _pad_x8(dx_c, cp), -sysd.bp8,
+                    tile_p, use_kernel, interpret)
+    return -vy8[:3, :].T   # (Pp,3); caller slices to P
+
+
+def pcg_dense(sysd: SchurSystemD, iters: int = 30, fixed_cam_mask=None,
+              tile_p: int = 512, use_kernel: bool | None = None,
+              interpret: bool | None = None):
+    """Block-Jacobi PCG with the fused dense-layout Schur matvec."""
+    use_kernel, interpret = _dense_flags(use_kernel, interpret)
+    C = sysd.n_cams
+    cp = -(-C // 128) * 128
+    Minv = _inv_spd(sysd.Ud)
+
+    def matvec(x):
+        z8, _ = _cross(sysd, _pad_x8(x, cp), None, tile_p, use_kernel,
+                       interpret)
+        Ux = jnp.einsum("cij,cj->ci", sysd.Ud, x)
+        return Ux - z8[:6, :C].T
+
+    def proj(x):
+        if fixed_cam_mask is None:
+            return x
+        return jnp.where(fixed_cam_mask[:, None], 0.0, x)
+
+    b = proj(sysd.b_red)
+    x0 = jnp.zeros_like(b)
+    z0 = proj(jnp.einsum("cij,cj->ci", Minv, b))
+
+    def body(_, carry):
+        x, r, z, p = carry
+        Sp = proj(matvec(p))
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(p * Sp), 1e-20)
+        x2 = x + alpha * p
+        r2 = r - alpha * Sp
+        z2 = proj(jnp.einsum("cij,cj->ci", Minv, r2))
+        beta = jnp.sum(r2 * z2) / jnp.maximum(rz, 1e-20)
+        return (x2, r2, z2, z2 + beta * p)
+
+    x, r, _, _ = jax.lax.fori_loop(0, iters, body, (x0, b, z0, z0))
+    return x, jnp.sqrt(jnp.sum(r * r))

@@ -1,0 +1,137 @@
+"""Fused dense-layout Schur matvec (kernels/segsum.py): kernel parity vs
+the planes matvec, and full-BA parity of the dense_cg path (SURVEY §4.2.3)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sfmx.kernels import segsum
+from sfmx.solvers import lm, schur
+
+from .synthetic import make_scene
+from .test_ba import build_obs_table
+
+
+def _planes_system(C=24, P=600, O=4000, tp_cap=32, seed=0):
+    """Random consistent BA normal system in planes layout, pt-sorted."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-2, 2, (C, 2)), np.full((C, 1), 25.0)],
+                       1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_id = rng.integers(0, C, O).astype(np.int32)
+    pt_id = np.sort(rng.integers(0, P, O).astype(np.int32))
+    Xc = X[pt_id] + t[cam_id]
+    uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+          + 0.3 * rng.standard_normal((O, 2))).astype(np.float32)
+    intr = jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], np.float32)
+    k_idx = jnp.zeros(C, jnp.int32)
+    w = jnp.ones(O, jnp.float32)
+    cam_id, pt_id, uv = map(jnp.asarray, (cam_id, pt_id, uv))
+    r, Jc, Jp = lm._jacobians_planes(intr, k_idx, jnp.asarray(R),
+                                     jnp.asarray(t), jnp.asarray(X),
+                                     cam_id, pt_id, uv)
+    nbp = schur.assemble_planes(Jc, Jp, r, w, cam_id, pt_id, C, P,
+                                pt_sorted=True)
+    sysp = schur.reduce_system_planes(nbp, 1e-4, pt_sorted=True)
+    dense = segsum.build_dense_obs(pt_id, cam_id, P, C, tp_cap)
+    return sysp, dense, (cam_id, pt_id), nbp
+
+
+def test_dense_layout_roundtrip():
+    """Every obs lands in exactly one slot of its own point column."""
+    sysp, dense, (cam_id, pt_id), _ = _planes_system()
+    rows = np.asarray(dense.rows)
+    O = cam_id.shape[0]
+    filled = rows[rows < O]
+    assert len(filled) == O and len(np.unique(filled)) == O
+    tp, pp = rows.shape
+    slot, col = np.nonzero(rows < O)
+    np.testing.assert_array_equal(np.asarray(pt_id)[rows[slot, col]], col)
+    np.testing.assert_array_equal(np.asarray(dense.camp)[slot, col],
+                                  np.asarray(cam_id)[rows[slot, col]])
+
+
+def test_cross_matvec_kernel_matches_planes():
+    """Kernel (interpret on CPU) == jnp oracle == planes matvec; the bias
+    input reproduces the Schur rhs and back-substitution."""
+    sysp, dense, _, nbp = _planes_system()
+    C = sysp.n_cams
+    P = sysp.n_pts
+    cp = -(-C // 128) * 128
+    tp, pp = dense.camp.shape
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((C, 6)), jnp.float32)
+
+    Wp = segsum.pack_rows(dense, sysp.blocks.W18)
+    vinv16 = jnp.zeros((16, pp), jnp.float32).at[:9, :P].set(sysp.Vinv9.T)
+    x8 = jnp.zeros((8, cp), jnp.float32).at[:6, :C].set(x.T)
+
+    z_ref, vy_ref = segsum.schur_cross_matvec_ref(Wp, dense.camp, vinv16, x8)
+    z_ker, vy_ker = segsum.schur_cross_matvec(Wp, dense.camp, vinv16, x8,
+                                              tp=tp, interpret=True)
+    scale = np.abs(np.asarray(z_ref)).max()
+    np.testing.assert_allclose(np.asarray(z_ker), np.asarray(z_ref),
+                               rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(vy_ker), np.asarray(vy_ref),
+                               rtol=1e-4,
+                               atol=1e-4 * np.abs(np.asarray(vy_ref)).max())
+
+    # vs the planes matvec: S x = Ud x - cross  ->  cross = Ud x - S x
+    Sx = schur.schur_matvec_planes(sysp, x, pt_sorted=True)
+    Ux = jnp.einsum("cij,cj->ci", sysp.Ud, x)
+    cross_planes = np.asarray(Ux - Sx)
+    np.testing.assert_allclose(np.asarray(z_ref)[:6, :C].T, cross_planes,
+                               rtol=2e-4, atol=2e-4 * np.abs(cross_planes).max())
+
+    # reduce + backsub through the kernel == planes versions
+    sysd = schur.reduce_system_dense(nbp, dense, 1e-4, use_kernel=True,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(sysd.b_red), np.asarray(sysp.b_red),
+                               rtol=2e-4,
+                               atol=2e-4 * np.abs(np.asarray(sysp.b_red)).max())
+    dxp_planes = schur.solve_points_planes(sysp, x, pt_sorted=True)
+    dxp_dense = schur.solve_points_dense(sysd, x, use_kernel=True,
+                                         interpret=True)[:P]
+    np.testing.assert_allclose(
+        np.asarray(dxp_dense), np.asarray(dxp_planes), rtol=2e-4,
+        atol=2e-4 * np.abs(np.asarray(dxp_planes)).max())
+
+
+def test_pcg_dense_matches_pcg_planes():
+    sysp, dense, _, nbp = _planes_system()
+    fixed = jnp.zeros(sysp.n_cams, bool).at[0].set(True)
+    dx_p, _ = schur.pcg_planes(sysp, iters=25, fixed_cam_mask=fixed,
+                               pt_sorted=True)
+    for use_kernel in (False, True):
+        sysd = schur.reduce_system_dense(nbp, dense, 1e-4,
+                                         use_kernel=use_kernel,
+                                         interpret=True)
+        dx_d, _ = schur.pcg_dense(sysd, iters=25, fixed_cam_mask=fixed,
+                                  use_kernel=use_kernel, interpret=True)
+        err = np.abs(np.asarray(dx_d) - np.asarray(dx_p)).max()
+        scale = np.abs(np.asarray(dx_p)).max() + 1e-12
+        assert err / scale < 1e-3, (use_kernel, err / scale)
+
+
+def test_ba_solve_dense_cg_parity():
+    """Full LM with the dense/fused CG converges identically (costs) to the
+    planes path on a perturbed orbit scene."""
+    sc = make_scene(n_cams=8, n_points=120, noise_px=0.3)
+    cam_id, pt_id, uv, w = build_obs_table(sc)
+    intr = jnp.asarray(sc.intrinsics, jnp.float32)[None]
+    k_idx = jnp.zeros(8, jnp.int32)
+    fixed = jnp.zeros(8, bool).at[0].set(True)
+    rng = np.random.default_rng(2)
+    R0 = jnp.asarray(sc.Rs, jnp.float32)
+    t0 = jnp.asarray(sc.ts + 0.03 * rng.standard_normal((8, 3)), jnp.float32)
+    X0 = jnp.asarray(sc.points + 0.03 * rng.standard_normal((120, 3)),
+                     jnp.float32)
+    args = (intr, k_idx, R0, t0, X0, cam_id, pt_id, jnp.asarray(uv),
+            jnp.asarray(w), fixed)
+    Ra, ta, Xa, costs_a = lm.ba_solve(*args, iters=8, cg_iters=25, tp_cap=16)
+    Rb, tb, Xb, costs_b = lm.ba_solve(*args, iters=8, cg_iters=25, tp_cap=16,
+                                      dense_cg=True)
+    assert float(costs_b[-1]) < float(costs_b[0]) * 0.1
+    np.testing.assert_allclose(float(costs_b[-1]), float(costs_a[-1]),
+                               rtol=0.02)
