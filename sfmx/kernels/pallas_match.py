@@ -40,7 +40,10 @@ def _match_kernel(a_ref, b_ref, s1_ref, i1_ref, s2_ref,
     # matmuls on operands DMA'd in as bf16 blocks ("Bad lhs type")
     a = a_ref[:].astype(jnp.bfloat16)  # (TA, D)
     b = b_ref[:].astype(jnp.bfloat16)  # (TB, D)
-    sim = jnp.dot(a, b.T, preferred_element_type=jnp.float32)  # (TA, TB)
+    # explicit precision: the library default `highest` fails Mosaic for
+    # bf16 operands ("Bad lhs type"); DEFAULT = one-pass bf16 MXU matmul
+    sim = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)   # (TA, TB)
 
     TB = sim.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)

@@ -36,7 +36,11 @@ def _pairs_kernel(pairs_ref, a_ref, bt_ref, s1_ref, i1_ref, s2_ref, j1_ref):
     # but is happy casting f32 VMEM values at the MXU's doorstep
     a = a_ref[0].astype(jnp.bfloat16)                    # (K, D)
     bt = bt_ref[0].astype(jnp.bfloat16)                  # (D, K)
-    sim = jnp.dot(a, bt, preferred_element_type=jnp.float32)  # (K, K) VMEM
+    # precision MUST be explicit: the library-wide default is `highest`
+    # (sfmx/__init__.py), which Mosaic rejects for bf16 operands ("Bad lhs
+    # type" at tpu.matmul).  DEFAULT is the plain one-pass bf16 MXU matmul.
+    sim = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)   # (K, K) VMEM
 
     col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
     a1 = jnp.argmax(sim, axis=1)                         # (K,) best col / row

@@ -145,7 +145,7 @@ def _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, delta):
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap",
-                                   "return_lam", "dense_cg"))
+                                   "return_lam", "dense_cg", "cam_window"))
 def ba_solve(
     intr: jax.Array,      # (I,7)
     k_idx: jax.Array,     # (C,) int32
@@ -166,6 +166,7 @@ def ba_solve(
     tc_cap: int | None = None,
     return_lam: bool = False,
     dense_cg: bool = False,
+    cam_window: int | None = None,
 ):
     """Run `iters` LM iterations; returns (R, t, X, costs[iters+1]).
 
@@ -207,7 +208,8 @@ def ba_solve(
             raise ValueError("dense_cg requires tp_cap (track-length bound)")
         from ..kernels import segsum
 
-        dense = segsum.build_dense_obs(pt_id, cam_id, n_pts, n_cams, tp_cap)
+        dense = segsum.build_dense_obs(pt_id, cam_id, n_pts, n_cams, tp_cap,
+                                       cam_window=cam_window)
     else:
         dense = None
 
@@ -233,10 +235,13 @@ def ba_solve(
                 Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
                 pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
             if dense is not None:
-                sysd = schur.reduce_system_dense(nbp, dense, state.lam)
+                sysd = schur.reduce_system_dense(nbp, dense, state.lam,
+                                                 cam_window=cam_window)
                 dx_c, _ = schur.pcg_dense(sysd, iters=cg_iters,
-                                          fixed_cam_mask=fixed_cam_mask)
-                dx_p = schur.solve_points_dense(sysd, dx_c)[:n_pts]
+                                          fixed_cam_mask=fixed_cam_mask,
+                                          cam_window=cam_window)
+                dx_p = schur.solve_points_dense(
+                    sysd, dx_c, cam_window=cam_window)[:n_pts]
             else:
                 sysp = schur.reduce_system_planes(nbp, state.lam,
                                                   pt_sorted=True)

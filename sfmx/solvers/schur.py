@@ -701,6 +701,7 @@ class SchurSystemD(NamedTuple):
     bp8: jax.Array       # (8, Pp) rows 0-2 = b_p
     Ud: jax.Array        # (C,6,6)
     b_red: jax.Array     # (C,6)
+    bases: jax.Array     # (Pp//tile_p,) per-tile camera-window bases
 
     @property
     def n_cams(self) -> int:
@@ -715,13 +716,15 @@ def _dense_flags(use_kernel, interpret):
     return use_kernel, interpret
 
 
-def _cross(sysd: SchurSystemD, x8, bias3, tile_p, use_kernel, interpret):
+def _cross(sysd: SchurSystemD, x8, bias3, tile_p, use_kernel, interpret,
+           cam_window=None):
     from ..kernels import segsum
 
     if use_kernel:
         return segsum.schur_cross_matvec(
             sysd.Wp, sysd.camp, sysd.vinv16, x8, bias3,
-            tp=sysd.camp.shape[0], tile_p=tile_p, interpret=interpret)
+            tp=sysd.camp.shape[0], tile_p=tile_p, bases=sysd.bases,
+            cam_window=cam_window, interpret=interpret)
     return segsum.schur_cross_matvec_ref(sysd.Wp, sysd.camp, sysd.vinv16,
                                          x8, bias3)
 
@@ -732,11 +735,14 @@ def _pad_x8(x, cp):
 
 def reduce_system_dense(nb: NormalBlocksP, dense, lam, *,
                         tile_p: int = 512, use_kernel: bool | None = None,
-                        interpret: bool | None = None) -> SchurSystemD:
+                        interpret: bool | None = None,
+                        cam_window: int | None = None) -> SchurSystemD:
     """Damp + Schur-reduce into the kernel-ready dense layout.
 
     ``dense`` is a ``kernels.segsum.DenseObs`` built once per solve from
-    the SAME pt-sorted obs order as ``nb``.
+    the SAME pt-sorted obs order as ``nb``.  ``cam_window`` is the static
+    per-tile one-hot width matching ``dense.bases``
+    (``segsum.compute_cam_window``).
     """
     from ..kernels import segsum
 
@@ -752,27 +758,29 @@ def reduce_system_dense(nb: NormalBlocksP, dense, lam, *,
     bp8 = jnp.zeros((8, pp), jnp.float32).at[:3, :P].set(nb.b_p.T)
     Ud = _damp(nb.U, lam)
     sysd = SchurSystemD(Wp, dense.camp, vinv16, bp8, Ud,
-                        b_red=jnp.zeros((C, 6), jnp.float32))
+                        b_red=jnp.zeros((C, 6), jnp.float32),
+                        bases=dense.bases)
     # b_red = b_c - scatter_cam(W V^{-1} b_p): the kernel with x=0
     z8, _ = _cross(sysd, jnp.zeros((8, cp), jnp.float32), bp8,
-                   tile_p, use_kernel, interpret)
+                   tile_p, use_kernel, interpret, cam_window)
     return sysd._replace(b_red=nb.b_c - z8[:6, :C].T)
 
 
 def solve_points_dense(sysd: SchurSystemD, dx_c: jax.Array, *,
                        tile_p: int = 512, use_kernel: bool | None = None,
-                       interpret: bool | None = None) -> jax.Array:
+                       interpret: bool | None = None,
+                       cam_window: int | None = None) -> jax.Array:
     """dx_p = V^{-1}(b_p - W^T dx_c): the kernel with bias = -b_p."""
     use_kernel, interpret = _dense_flags(use_kernel, interpret)
     cp = -(-sysd.n_cams // 128) * 128
     _, vy8 = _cross(sysd, _pad_x8(dx_c, cp), -sysd.bp8,
-                    tile_p, use_kernel, interpret)
+                    tile_p, use_kernel, interpret, cam_window)
     return -vy8[:3, :].T   # (Pp,3); caller slices to P
 
 
 def pcg_dense(sysd: SchurSystemD, iters: int = 30, fixed_cam_mask=None,
               tile_p: int = 512, use_kernel: bool | None = None,
-              interpret: bool | None = None):
+              interpret: bool | None = None, cam_window: int | None = None):
     """Block-Jacobi PCG with the fused dense-layout Schur matvec."""
     use_kernel, interpret = _dense_flags(use_kernel, interpret)
     C = sysd.n_cams
@@ -781,7 +789,7 @@ def pcg_dense(sysd: SchurSystemD, iters: int = 30, fixed_cam_mask=None,
 
     def matvec(x):
         z8, _ = _cross(sysd, _pad_x8(x, cp), None, tile_p, use_kernel,
-                       interpret)
+                       interpret, cam_window)
         Ux = jnp.einsum("cij,cj->ci", sysd.Ud, x)
         return Ux - z8[:6, :C].T
 

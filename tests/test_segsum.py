@@ -114,6 +114,101 @@ def test_pcg_dense_matches_pcg_planes():
         assert err / scale < 1e-3, (use_kernel, err / scale)
 
 
+def _local_system(C=300, P=2048, O=6000, tp_cap=16, seed=3):
+    """Planes system with CAMERA-LOCAL visibility: each point is seen only
+    by a sliding window of cameras (what incremental SfM produces)."""
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-2, 2, (C, 2)), np.full((C, 1), 25.0)],
+                       1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    pt_id = np.sort(rng.integers(0, P, O).astype(np.int32))
+    base_cam = (pt_id.astype(np.float64) / P * (C - 6)).astype(np.int32)
+    cam_id = (base_cam + rng.integers(0, 6, O)).astype(np.int32)
+    Xc = X[pt_id] + t[cam_id]
+    uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+          + 0.3 * rng.standard_normal((O, 2))).astype(np.float32)
+    intr = jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0, 0]], np.float32)
+    k_idx = jnp.zeros(C, jnp.int32)
+    w = jnp.ones(O, jnp.float32)
+    wc = segsum.compute_cam_window(pt_id, cam_id, P, C, tp_cap)
+    cam_idj, pt_idj, uvj = map(jnp.asarray, (cam_id, pt_id, uv))
+    r, Jc, Jp = lm._jacobians_planes(intr, k_idx, jnp.asarray(R),
+                                     jnp.asarray(t), jnp.asarray(X),
+                                     cam_idj, pt_idj, uvj)
+    nbp = schur.assemble_planes(Jc, Jp, r, w, cam_idj, pt_idj, C, P,
+                                pt_sorted=True)
+    sysp = schur.reduce_system_planes(nbp, 1e-4, pt_sorted=True)
+    dense = segsum.build_dense_obs(pt_idj, cam_idj, P, C, tp_cap,
+                                   cam_window=wc)
+    return sysp, dense, nbp, wc
+
+
+def test_cam_window_bound_is_true_bound():
+    """compute_cam_window covers every tile's span, incl. pad-slot fill."""
+    _, dense, _, wc = _local_system()
+    camp = np.asarray(dense.camp)
+    bases = np.asarray(dense.bases)
+    tp, pp = camp.shape
+    tiles = camp.reshape(tp, -1, 512)
+    for t in range(tiles.shape[1]):
+        assert tiles[:, t].min() >= bases[t]
+        assert tiles[:, t].max() < bases[t] + wc, (t, wc)
+
+
+def test_windowed_kernel_matches_oracle():
+    """Camera-windowed one-hot kernel == absolute-index oracle."""
+    sysp, dense, nbp, wc = _local_system()
+    C, P = sysp.n_cams, sysp.n_pts
+    cp = -(-C // 128) * 128
+    assert wc < cp, "scene must exercise a real window"
+    tp, pp = dense.camp.shape
+    rng = np.random.default_rng(4)
+    x8 = jnp.zeros((8, cp), jnp.float32).at[:6, :C].set(
+        jnp.asarray(rng.standard_normal((C, 6)), jnp.float32).T)
+    Wp = segsum.pack_rows(dense, sysp.blocks.W18)
+    vinv16 = jnp.zeros((16, pp), jnp.float32).at[:9, :P].set(sysp.Vinv9.T)
+    bias = jnp.zeros((8, pp), jnp.float32).at[:3, :P].set(
+        jnp.asarray(rng.standard_normal((P, 3)), jnp.float32).T)
+    z_ref, vy_ref = segsum.schur_cross_matvec_ref(Wp, dense.camp, vinv16,
+                                                  x8, bias)
+    z_ker, vy_ker = segsum.schur_cross_matvec(
+        Wp, dense.camp, vinv16, x8, bias, tp=tp, bases=dense.bases,
+        cam_window=wc, interpret=True)
+    scale = np.abs(np.asarray(z_ref)).max()
+    np.testing.assert_allclose(np.asarray(z_ker), np.asarray(z_ref),
+                               rtol=1e-4, atol=1e-4 * scale)
+    np.testing.assert_allclose(
+        np.asarray(vy_ker), np.asarray(vy_ref), rtol=1e-4,
+        atol=1e-4 * np.abs(np.asarray(vy_ref)).max())
+
+
+def test_pcg_dense_windowed_matches_planes():
+    """Windowed-kernel PCG solves the SAME reduced system as well as the
+    planes PCG.  The 300-camera local scene has flat directions, so
+    iterate-space comparison is meaningless (even the jnp oracle differs
+    0.3% from planes there); the correct check is residual quality of each
+    solution under the planes matvec."""
+    sysp, dense, nbp, wc = _local_system()
+    fixed = jnp.zeros(sysp.n_cams, bool).at[0].set(True)
+
+    def resid(dx):
+        r = sysp.b_red - schur.schur_matvec_planes(sysp, dx, pt_sorted=True)
+        r = jnp.where(fixed[:, None], 0.0, r)
+        return float(jnp.sqrt(jnp.sum(r * r)))
+
+    dx_p, _ = schur.pcg_planes(sysp, iters=25, fixed_cam_mask=fixed,
+                               pt_sorted=True)
+    sysd = schur.reduce_system_dense(nbp, dense, 1e-4, use_kernel=True,
+                                     interpret=True, cam_window=wc)
+    np.testing.assert_allclose(
+        np.asarray(sysd.b_red), np.asarray(sysp.b_red), rtol=2e-4,
+        atol=2e-4 * np.abs(np.asarray(sysp.b_red)).max())
+    dx_d, _ = schur.pcg_dense(sysd, iters=25, fixed_cam_mask=fixed,
+                              use_kernel=True, interpret=True, cam_window=wc)
+    assert resid(dx_d) <= resid(dx_p) * 1.5, (resid(dx_d), resid(dx_p))
+
+
 def test_ba_solve_dense_cg_parity():
     """Full LM with the dense/fused CG converges identically (costs) to the
     planes path on a perturbed orbit scene."""
