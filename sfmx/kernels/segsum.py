@@ -287,6 +287,291 @@ def schur_cross_matvec(Wp: jax.Array, camp: jax.Array, Vinv9: jax.Array,
     )(bases, camp, Wp, Vinv9, x8, bias3)
 
 
+# ---------------------------------------------------------------------------
+# Fused BA assembly: residuals + analytic Jacobians + normal blocks, all in
+# the dense point-major layout.
+#
+# Why: the XLA assembly path materializes (O,36)/(O,18)/(O,12) per-obs
+# arrays whose minor dims tile to 128 lanes (3.5-14x physical HBM
+# inflation), segment-scatters U by camera, and re-gathers W into the dense
+# layout every LM iteration (pack_rows).  Here the per-obs inputs (uv,
+# validity) are packed into the dense layout ONCE per solve; each LM
+# iteration then runs ONE kernel that gathers camera parameters through the
+# windowed one-hot (MXU), evaluates the projection model and its analytic
+# Jacobians component-wise on the lanes (VPU), writes W directly in the
+# (tp*18, Pp) layout the CG matvec consumes, reduces V/b_p/cost densely
+# over slots, and scatter-accumulates U/b_c per camera with one M=84
+# one-hot matmul per slot.  No narrow HBM access remains anywhere in the
+# LM iteration.  (SURVEY §7.2 planned kernel; replaces Ceres' residual/
+# Jacobian evaluation + Schur elimination hot loop, SURVEY §3.4.)
+# ---------------------------------------------------------------------------
+
+
+def build_cam_table(intr, k_idx, R, t):
+    """(19, Cp) per-camera parameter table: rows 0-8 R flat, 9-11 t,
+    12-18 intr[k_idx] (fx fy cx cy k1 k2 k3)."""
+    C = R.shape[0]
+    cp = _round_up(C, 128)
+    tab = jnp.concatenate(
+        [R.reshape(C, 9), t, intr[k_idx]], axis=1).T.astype(jnp.float32)
+    return jnp.zeros((19, cp), jnp.float32).at[:, :C].set(tab)
+
+
+def _proj_math(g, x0, x1, x2, u, v):
+    """Projection + residual from gathered camera rows g (list of 19
+    (1,TP) arrays) and dense point rows; returns residuals and the
+    intermediates the Jacobians need.  Mirrors lm._jacobians_planes."""
+    fx, fy, cx, cy = g[12], g[13], g[14], g[15]
+    k1, k2, k3 = g[16], g[17], g[18]
+    fm = 0.5 * (fx + fy)
+    s0 = g[0] * x0 + g[1] * x1 + g[2] * x2
+    s1 = g[3] * x0 + g[4] * x1 + g[5] * x2
+    s2 = g[6] * x0 + g[7] * x1 + g[8] * x2
+    xc, yc, zc = s0 + g[9], s1 + g[10], s2 + g[11]
+    zs = jnp.where(jnp.abs(zc) < 1e-9, 1e-9, zc)
+    iz = 1.0 / zs
+    xn, yn = xc * iz, yc * iz
+    r2 = xn * xn + yn * yn
+    fd = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    fp = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
+    ru = (fx * (xn * fd) + cx - u) / fm
+    rv = (fy * (yn * fd) + cy - v) / fm
+    return ru, rv, (fx, fy, fm, fd, fp, iz, xn, yn, s0, s1, s2)
+
+
+def _jac_rows(g, aux):
+    """Analytic Jacobian rows (each (1,TP)): Ju/Jv (6 each), Pu/Pv (3)."""
+    fx, fy, fm, fd, fp, iz, xn, yn, s0, s1, s2 = aux
+    gx, gy = fx / fm, fy / fm
+    A00 = gx * (fd + 2.0 * xn * xn * fp)
+    A01 = gx * (2.0 * xn * yn * fp)
+    A10 = gy * (2.0 * xn * yn * fp)
+    A11 = gy * (fd + 2.0 * yn * yn * fp)
+    B00, B01 = A00 * iz, A01 * iz
+    B02 = -(A00 * xn + A01 * yn) * iz
+    B10, B11 = A10 * iz, A11 * iz
+    B12 = -(A10 * xn + A11 * yn) * iz
+    Ju = [-B01 * s2 + B02 * s1, B00 * s2 - B02 * s0, -B00 * s1 + B01 * s0,
+          B00, B01, B02]
+    Jv = [-B11 * s2 + B12 * s1, B10 * s2 - B12 * s0, -B10 * s1 + B11 * s0,
+          B10, B11, B12]
+    Pu = [B00 * g[0] + B01 * g[3] + B02 * g[6],
+          B00 * g[1] + B01 * g[4] + B02 * g[7],
+          B00 * g[2] + B01 * g[5] + B02 * g[8]]
+    Pv = [B10 * g[0] + B11 * g[3] + B12 * g[6],
+          B10 * g[1] + B11 * g[4] + B12 * g[7],
+          B10 * g[2] + B11 * g[5] + B12 * g[8]]
+    return Ju, Jv, Pu, Pv
+
+
+def _huber_rows(ru, rv, delta):
+    """(rho, w_huber) from residual rows; delta broadcasts from (1,1)."""
+    r2 = ru * ru + rv * rv
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-20))
+    small = rn <= delta
+    rho = jnp.where(small, r2, delta * (2.0 * rn - delta))
+    wh = jnp.where(small, 1.0, delta / rn)
+    return rho, wh
+
+
+def _gather_cam(cam_hi, cam_lo, oh, nrows: int):
+    """Windowed one-hot gather of the camera table: (nrows, TP)."""
+    g2 = _dot(jnp.concatenate([cam_hi, cam_lo], axis=0), oh)
+    return g2[:nrows] + g2[nrows:]
+
+
+def _assemble_kernel(bases_ref, camp_ref, uvw_ref, cam_ref, x_ref, sc_ref,
+                     u_ref, v_ref, w_ref, *, tp: int, wc: int):
+    """One LM iteration's assembly for one point tile (see module section).
+
+    Outputs: u_ref (96, Cp) rows 0-83 = hi/lo halves of [U 36 | b_c 6]
+    scatter-accumulated over tiles; v_ref (16, TP) rows 0-8 = V9, 9-11 =
+    b_p, 12 = per-lane robust-cost partial; w_ref (tp*18, TP) = W blocks
+    in the CG matvec's layout (pad slots zero via w_valid).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        u_ref[:] = jnp.zeros_like(u_ref)
+
+    b = pl.multiple_of(bases_ref[i], 128)
+    tile_p = camp_ref.shape[1]
+    delta = sc_ref[0:1, 0:1]
+    camw = cam_ref[:, pl.ds(b, wc)]                      # (19, wc)
+    cam_hi, cam_lo = _split_hi_lo(camw)
+    campb = camp_ref[:] - b
+    iota_ct = jax.lax.broadcasted_iota(jnp.int32, (wc, tile_p), 0)
+    iota_tc = jax.lax.broadcasted_iota(jnp.int32, (tile_p, wc), 1)
+    x0 = x_ref[0, :][None, :]
+    x1 = x_ref[1, :][None, :]
+    x2 = x_ref[2, :][None, :]
+
+    v9 = [jnp.zeros((1, tile_p), jnp.float32) for _ in range(9)]
+    bp = [jnp.zeros((1, tile_p), jnp.float32) for _ in range(3)]
+    cost = jnp.zeros((1, tile_p), jnp.float32)
+    uacc = jnp.zeros((96, wc), jnp.float32)
+    for j in range(tp):
+        cj = campb[j, :]
+        oh = (iota_ct == cj[None, :]).astype(jnp.bfloat16)
+        gal = _gather_cam(cam_hi, cam_lo, oh, 19)
+        g = [gal[k][None, :] for k in range(19)]
+        u = uvw_ref[3 * j, :][None, :]
+        v = uvw_ref[3 * j + 1, :][None, :]
+        wv = uvw_ref[3 * j + 2, :][None, :]
+        ru, rv, aux = _proj_math(g, x0, x1, x2, u, v)
+        rho, wh = _huber_rows(ru, rv, delta)
+        cost = cost + 0.5 * rho * wv
+        wh = wh * wv
+        Ju, Jv, Pu, Pv = _jac_rows(g, aux)
+        # W blocks straight into the CG layout (row j*18 + a*3 + k)
+        for a in range(6):
+            for k in range(3):
+                w_ref[j * 18 + a * 3 + k, :] = (
+                    wh * (Ju[a] * Pu[k] + Jv[a] * Pv[k]))[0]
+        # dense point-side reductions
+        for k in range(3):
+            for l in range(3):
+                v9[k * 3 + l] = v9[k * 3 + l] + wh * (
+                    Pu[k] * Pu[l] + Pv[k] * Pv[l])
+            bp[k] = bp[k] - wh * (Pu[k] * ru + Pv[k] * rv)
+        # camera-side scatter: [U 36 | b_c 6] via one M=84 one-hot matmul
+        zrows = [wh * (Ju[a] * Ju[c] + Jv[a] * Jv[c])
+                 for a in range(6) for c in range(6)]
+        zrows += [-wh * (Ju[a] * ru + Jv[a] * rv) for a in range(6)]
+        zrows += [jnp.zeros((6, tile_p), jnp.float32)]
+        z = jnp.concatenate(zrows, axis=0)                           # (48,TP)
+        z_hi, z_lo = _split_hi_lo(z)
+        z96 = jnp.concatenate([z_hi, z_lo], axis=0)                  # (96,TP)
+        oht = (iota_tc == cj[:, None]).astype(jnp.bfloat16)
+        uacc += _dot(z96, oht)
+    u_ref[:, pl.ds(b, wc)] += uacc
+    v_ref[:] = jnp.concatenate(
+        v9 + bp + [cost, jnp.zeros((3, tile_p), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("tp", "tile_p", "cam_window", "interpret"))
+def ba_assemble_fused(cam19: jax.Array, camp: jax.Array, uvw: jax.Array,
+                      x8: jax.Array, delta, *, tp: int, tile_p: int = 512,
+                      bases: jax.Array | None = None,
+                      cam_window: int | None = None,
+                      interpret: bool = False):
+    """Fused residual/Jacobian/normal-block assembly (see _assemble_kernel).
+
+    Args:
+      cam19: (19, Cp) camera table (build_cam_table).
+      camp/bases: dense layout (DenseObs) + window bases.
+      uvw: (tp*3, Pp) packed [u, v, w_valid] rows per slot
+           (pack_rows(dense, concat([uv, w[:,None]]))), built once per solve.
+      x8: (8, Pp) rows 0-2 = points X^T on the lanes.
+      delta: Huber threshold (normalized units), traced scalar.
+    Returns (u96 (96, Cp), v16 (16, Pp), Wp (tp*18, Pp)); decode U/b_c as
+    hi = u96[:48], lo = u96[48:], rows 0-35 U (a*6+b), 36-41 b_c.
+    """
+    pp = camp.shape[1]
+    cp = cam19.shape[1]
+    grid = (pp // tile_p,)
+    wc = cp if cam_window is None else min(cam_window, cp)
+    if bases is None or wc >= cp:
+        wc = cp
+        bases = jnp.zeros((pp // tile_p,), jnp.int32)
+    sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(
+        jnp.asarray(delta, jnp.float32))
+    kern = partial(_assemble_kernel, tp=tp, wc=wc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, tile_p), lambda i, bs: (0, i)),
+            pl.BlockSpec((3 * tp, tile_p), lambda i, bs: (0, i)),
+            pl.BlockSpec((19, cp), lambda i, bs: (0, 0)),
+            pl.BlockSpec((8, tile_p), lambda i, bs: (0, i)),
+            pl.BlockSpec((8, 128), lambda i, bs: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((96, cp), lambda i, bs: (0, 0)),
+                   pl.BlockSpec((16, tile_p), lambda i, bs: (0, i)),
+                   pl.BlockSpec((18 * tp, tile_p), lambda i, bs: (0, i))],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((96, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((16, pp), jnp.float32),
+                   jax.ShapeDtypeStruct((18 * tp, pp), jnp.float32)],
+        interpret=interpret,
+    )(bases, camp, uvw, cam19, x8, sc)
+
+
+def _cost_kernel(bases_ref, camp_ref, uvw_ref, cam_ref, x_ref, sc_ref,
+                 c_ref, *, tp: int, wc: int, nc: int):
+    """Robust cost of nc parameter candidates in one pass over the dense
+    obs layout; c_ref (16, TP) row c = candidate c's per-lane partial."""
+    b = pl.multiple_of(bases_ref[pl.program_id(0)], 128)
+    tile_p = camp_ref.shape[1]
+    delta = sc_ref[0:1, 0:1]
+    camw = cam_ref[:, pl.ds(b, wc)]                      # (19*nc, wc)
+    cam_hi, cam_lo = _split_hi_lo(camw)
+    campb = camp_ref[:] - b
+    iota_ct = jax.lax.broadcasted_iota(jnp.int32, (wc, tile_p), 0)
+    xs = [(x_ref[8 * c + 0, :][None, :], x_ref[8 * c + 1, :][None, :],
+           x_ref[8 * c + 2, :][None, :]) for c in range(nc)]
+    cost = [jnp.zeros((1, tile_p), jnp.float32) for _ in range(nc)]
+    for j in range(tp):
+        cj = campb[j, :]
+        oh = (iota_ct == cj[None, :]).astype(jnp.bfloat16)
+        gall = _gather_cam(cam_hi, cam_lo, oh, 19 * nc)  # (19*nc, TP)
+        u = uvw_ref[3 * j, :][None, :]
+        v = uvw_ref[3 * j + 1, :][None, :]
+        wv = uvw_ref[3 * j + 2, :][None, :]
+        for c in range(nc):
+            g = [gall[19 * c + k][None, :] for k in range(19)]
+            x0, x1, x2 = xs[c]
+            ru, rv, _ = _proj_math(g, x0, x1, x2, u, v)
+            rho, _ = _huber_rows(ru, rv, delta)
+            cost[c] = cost[c] + 0.5 * rho * wv
+    c_ref[:] = jnp.concatenate(
+        cost + [jnp.zeros((16 - nc, tile_p), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("tp", "nc", "tile_p", "cam_window",
+                                   "interpret"))
+def ba_cost_fused(cam19s: jax.Array, camp: jax.Array, uvw: jax.Array,
+                  x8s: jax.Array, delta, *, tp: int, nc: int,
+                  tile_p: int = 512, bases: jax.Array | None = None,
+                  cam_window: int | None = None, interpret: bool = False):
+    """Robust cost of nc candidates (cam19s (19*nc, Cp) stacked tables,
+    x8s (8*nc, Pp) stacked point rows).  Returns (nc,) costs."""
+    pp = camp.shape[1]
+    cp = cam19s.shape[1]
+    grid = (pp // tile_p,)
+    wc = cp if cam_window is None else min(cam_window, cp)
+    if bases is None or wc >= cp:
+        wc = cp
+        bases = jnp.zeros((pp // tile_p,), jnp.int32)
+    sc = jnp.zeros((8, 128), jnp.float32).at[0, 0].set(
+        jnp.asarray(delta, jnp.float32))
+    kern = partial(_cost_kernel, tp=tp, wc=wc, nc=nc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tp, tile_p), lambda i, bs: (0, i)),
+            pl.BlockSpec((3 * tp, tile_p), lambda i, bs: (0, i)),
+            pl.BlockSpec((19 * nc, cp), lambda i, bs: (0, 0)),
+            pl.BlockSpec((8 * nc, tile_p), lambda i, bs: (0, i)),
+            pl.BlockSpec((8, 128), lambda i, bs: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((16, tile_p), lambda i, bs: (0, i))],
+    )
+    out, = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((16, pp), jnp.float32)],
+        interpret=interpret,
+    )(bases, camp, uvw, cam19s, x8s, sc)
+    return jnp.sum(out[:nc], axis=1)
+
+
 def schur_cross_matvec_ref(Wp, camp, Vinv9, x8, bias3=None):
     """Pure-jnp oracle for the kernel (same arguments, same layout)."""
     tp = camp.shape[0]

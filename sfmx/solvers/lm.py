@@ -210,6 +210,10 @@ def ba_solve(
 
         dense = segsum.build_dense_obs(pt_id, cam_id, n_pts, n_cams, tp_cap,
                                        cam_window=cam_window)
+        # once-per-solve packed per-obs inputs for the fused assembly kernel
+        uvw = segsum.pack_rows(
+            dense, jnp.concatenate([uv, w_valid[:, None]], axis=1))
+        _, fused_interp = schur._dense_flags(None, None)
     else:
         dense = None
 
@@ -227,22 +231,27 @@ def ba_solve(
         # tested) because their relative cost is layout- and
         # bandwidth-dependent; re-race them on full-bandwidth hardware.
         if pt_rows is not None:
-            r, Jc, Jp = _jacobians_planes(intr, k_idx, R, t, X,
-                                          cam_id, pt_id, uv)
-            r2 = jnp.sum(r * r, axis=-1)
-            w = w_valid * huber_weight(r2, huber_n)
-            nbp = schur.assemble_planes(
-                Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
-                pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
             if dense is not None:
-                sysd = schur.reduce_system_dense(nbp, dense, state.lam,
-                                                 cam_window=cam_window)
+                # FUSED path: residuals + Jacobians + normal blocks + Schur
+                # reduction in one Pallas pass over the dense layout — no
+                # (O,k) lane-padded temporaries, no segment scatters, no
+                # per-iteration W re-pack (kernels/segsum.py).
+                sysd, _ = schur.reduce_system_fused(
+                    intr, k_idx, R, t, X, dense, uvw, state.lam, huber_n,
+                    cam_window=cam_window)
                 dx_c, _ = schur.pcg_dense(sysd, iters=cg_iters,
                                           fixed_cam_mask=fixed_cam_mask,
                                           cam_window=cam_window)
                 dx_p = schur.solve_points_dense(
                     sysd, dx_c, cam_window=cam_window)[:n_pts]
             else:
+                r, Jc, Jp = _jacobians_planes(intr, k_idx, R, t, X,
+                                              cam_id, pt_id, uv)
+                r2 = jnp.sum(r * r, axis=-1)
+                w = w_valid * huber_weight(r2, huber_n)
+                nbp = schur.assemble_planes(
+                    Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
+                    pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
                 sysp = schur.reduce_system_planes(nbp, state.lam,
                                                   pt_sorted=True)
                 dx_c, _ = schur.pcg_planes(sysp, iters=cg_iters,
@@ -268,13 +277,32 @@ def ba_solve(
         # only as alpha).
         alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625], X.dtype)
 
-        def trial(alpha):
-            R2, t2 = se3.perturb_b(R, t, alpha * dx_c)
-            X2 = X + alpha * dx_p
-            c = _eval_cost(intr, k_idx, R2, t2, X2, cam_id, pt_id, uv, w_valid, huber_n)
-            return c
+        if dense is not None:
+            # all four candidates in ONE pass over the packed obs layout:
+            # one camera-table gather, one read of uvw (kernels/segsum.py)
+            from ..kernels import segsum
 
-        trial_costs = jax.vmap(trial)(alphas)
+            Rs, ts_ = jax.vmap(lambda a: se3.perturb_b(R, t, a * dx_c))(alphas)
+            Xs = X[None] + alphas[:, None, None] * dx_p
+            cam19s = jnp.concatenate(
+                [segsum.build_cam_table(intr, k_idx, Rs[c], ts_[c])
+                 for c in range(4)], axis=0)
+            pp = dense.camp.shape[1]
+            x8s = jnp.zeros((32, pp), jnp.float32)
+            for c in range(4):
+                x8s = x8s.at[8 * c:8 * c + 3, :n_pts].set(Xs[c].T)
+            trial_costs = segsum.ba_cost_fused(
+                cam19s, dense.camp, uvw, x8s, huber_n,
+                tp=dense.camp.shape[0], nc=4, bases=dense.bases,
+                cam_window=cam_window, interpret=fused_interp)
+        else:
+            def trial(alpha):
+                R2, t2 = se3.perturb_b(R, t, alpha * dx_c)
+                X2 = X + alpha * dx_p
+                return _eval_cost(intr, k_idx, R2, t2, X2, cam_id, pt_id,
+                                  uv, w_valid, huber_n)
+
+            trial_costs = jax.vmap(trial)(alphas)
         best = jnp.argmin(trial_costs)
         alpha = alphas[best]
         new_cost = trial_costs[best]

@@ -766,6 +766,67 @@ def reduce_system_dense(nb: NormalBlocksP, dense, lam, *,
     return sysd._replace(b_red=nb.b_c - z8[:6, :C].T)
 
 
+def _damp_inv3_rows(V9r: jax.Array, lam, eps: float = 1e-8) -> jax.Array:
+    """Rows-layout damped 3x3 inverse: (9, Pp) -> (9, Pp) (planes analog of
+    ``_damp_inv3_planes``, no (P,9) lane-padded transposes)."""
+    a = V9r[0] * (1.0 + lam) + 1e-10 + eps
+    b, c, d = V9r[1], V9r[2], V9r[3]
+    e = V9r[4] * (1.0 + lam) + 1e-10 + eps
+    f, g, h = V9r[5], V9r[6], V9r[7]
+    i = V9r[8] * (1.0 + lam) + 1e-10 + eps
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([A, B, Cc, D, E, F, G, H, I], axis=0) / det[None, :]
+
+
+def reduce_system_fused(intr, k_idx, R, t, X, dense, uvw, lam, delta, *,
+                        tile_p: int = 512, use_kernel: bool | None = None,
+                        interpret: bool | None = None,
+                        cam_window: int | None = None):
+    """One fused-kernel pass: residuals + Jacobians + normal blocks +
+    Schur reduction, all in the dense layout (kernels/segsum.ba_assemble_
+    fused).  Returns (SchurSystemD, cost) — cost is the robust cost at the
+    current parameters, a free by-product of the assembly.
+
+    ``uvw`` is the once-per-solve packed (tp*3, Pp) [u, v, w_valid] table.
+    """
+    from ..kernels import segsum
+
+    use_kernel, interpret = _dense_flags(use_kernel, interpret)
+    C = R.shape[0]
+    P = X.shape[0]
+    cp = -(-C // 128) * 128
+    tp, pp = dense.camp.shape
+    cam19 = segsum.build_cam_table(intr, k_idx, R, t)
+    x8 = jnp.zeros((8, pp), jnp.float32).at[:3, :P].set(X.T)
+    u96, v16, Wp = segsum.ba_assemble_fused(
+        cam19, dense.camp, uvw, x8, delta, tp=tp, tile_p=tile_p,
+        bases=dense.bases, cam_window=cam_window, interpret=interpret)
+    ub = u96[:48] + u96[48:]                              # hi+lo halves
+    U = ub[:36, :C].T.reshape(C, 6, 6)
+    b_c = ub[36:42, :C].T
+    cost = jnp.sum(v16[12])
+    vinv16 = jnp.zeros((16, pp), jnp.float32).at[:9].set(
+        _damp_inv3_rows(v16[:9], lam))
+    bp8 = jnp.zeros((8, pp), jnp.float32).at[:3].set(v16[9:12])
+    Ud = _damp(U, lam)
+    sysd = SchurSystemD(Wp, dense.camp, vinv16, bp8, Ud,
+                        b_red=jnp.zeros((C, 6), jnp.float32),
+                        bases=dense.bases)
+    z8, _ = _cross(sysd, jnp.zeros((8, cp), jnp.float32), bp8,
+                   tile_p, use_kernel, interpret, cam_window)
+    return sysd._replace(b_red=b_c - z8[:6, :C].T), cost
+
+
 def solve_points_dense(sysd: SchurSystemD, dx_c: jax.Array, *,
                        tile_p: int = 512, use_kernel: bool | None = None,
                        interpret: bool | None = None,
