@@ -30,37 +30,61 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _pairs_kernel(pairs_ref, a_ref, bt_ref, s1_ref, i1_ref, s2_ref, j1_ref):
-    # refs are f32; cast to bf16 IN-kernel — this Mosaic build rejects
-    # matmuls whose operands were DMA'd in as bf16 blocks ("Bad lhs type"),
-    # but is happy casting f32 VMEM values at the MXU's doorstep
-    a = a_ref[0].astype(jnp.bfloat16)                    # (K, D)
-    bt = bt_ref[0].astype(jnp.bfloat16)                  # (D, K)
-    # precision MUST be explicit: the library-wide default is `highest`
-    # (sfmx/__init__.py), which Mosaic rejects for bf16 operands ("Bad lhs
-    # type" at tpu.matmul).  DEFAULT is the plain one-pass bf16 MXU matmul.
-    sim = jnp.dot(a, bt, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)   # (K, K) VMEM
+def _pairs_kernel(pairs_ref, a_hbm, bt_hbm, o_ref, a_buf, bt_buf,
+                  sem_a, sem_b, *, G: int):
+    """G pairs per grid step: the per-pair descriptor blocks are fetched
+    with MANUAL async copies (dictionary gather from HBM-resident inputs
+    into VMEM scratch) — all 2G DMAs are in flight before the first pair's
+    compute, so DMA latency amortizes over G MXU tiles.  All four per-pair
+    results go out in ONE (G, 4, K) f32 block (indices < K are exact in
+    f32): four separate (1,1,K) output blocks measured ~12 us/pair of
+    small-DMA latency, 2.5x the whole compute."""
+    i = pl.program_id(0)
+    copies = []
+    for j in range(G):
+        ca = pltpu.make_async_copy(a_hbm.at[pairs_ref[i * G + j, 0]],
+                                   a_buf.at[j], sem_a.at[j])
+        cb = pltpu.make_async_copy(bt_hbm.at[pairs_ref[i * G + j, 1]],
+                                   bt_buf.at[j], sem_b.at[j])
+        ca.start()
+        cb.start()
+        copies.append((ca, cb))
+    for j in range(G):
+        ca, cb = copies[j]
+        ca.wait()
+        cb.wait()
+        # refs are f32; cast to bf16 IN-kernel — this Mosaic build rejects
+        # matmuls whose operands arrive as bf16 blocks ("Bad lhs type"),
+        # but is happy casting f32 VMEM values at the MXU's doorstep.
+        a = a_buf[j].astype(jnp.bfloat16)                # (K, D)
+        bt = bt_buf[j].astype(jnp.bfloat16)              # (D, K)
+        # precision MUST be explicit: the library-wide default is `highest`
+        # (sfmx/__init__.py), which Mosaic rejects for bf16 operands.
+        sim = jnp.dot(a, bt, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)   # (K, K) VMEM
 
-    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    a1 = jnp.argmax(sim, axis=1)                         # (K,) best col / row
-    s1 = jnp.max(sim, axis=1)
-    sim2 = jnp.where(col == a1[:, None], NEG, sim)
-    s2 = jnp.max(sim2, axis=1)
-    j1 = jnp.argmax(sim, axis=0)                         # (K,) best row / col
+        col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        a1 = jnp.argmax(sim, axis=1)                     # (K,) best col / row
+        s1 = jnp.max(sim, axis=1)
+        sim2 = jnp.where(col == a1[:, None], NEG, sim)
+        s2 = jnp.max(sim2, axis=1)
+        j1 = jnp.argmax(sim, axis=0)                     # (K,) best row / col
 
-    # outputs are (1, 1, K) blocks: a (1, K) block would violate the TPU
-    # (8, 128) min-tile rule on the sublane axis
-    s1_ref[0, 0] = s1
-    i1_ref[0, 0] = a1
-    s2_ref[0, 0] = s2
-    j1_ref[0, 0] = j1
+        o_ref[j, 0] = s1
+        o_ref[j, 1] = a1.astype(jnp.float32)
+        o_ref[j, 2] = s2
+        o_ref[j, 3] = j1.astype(jnp.float32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def match_pairs_top2(descs: jax.Array, pairs: jax.Array, *,
                      interpret: bool = False):
-    """Per-pair top-2 + column argmax, one MXU tile per pair.
+    """Per-pair top-2 + column argmax, one MXU tile per pair, G pairs per
+    grid step (see _pairs_kernel).
 
     Args:
       descs: (C, K, D) descriptors, masked rows pre-zeroed.
@@ -70,63 +94,150 @@ def match_pairs_top2(descs: jax.Array, pairs: jax.Array, *,
     """
     C, K, D = descs.shape
     Np = pairs.shape[0]
+    G = 8
+    npad = _round_up(Np, G)
+    if npad != Np:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((npad - Np, 2), pairs.dtype)], axis=0)
     d32 = descs.astype(jnp.float32)
     d32_t = jnp.swapaxes(d32, 1, 2)                      # (C, D, K) for rhs
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Np,),
+        grid=(npad // G,),
         in_specs=[
-            pl.BlockSpec((1, K, D), lambda i, pairs: (pairs[i, 0], 0, 0)),
-            pl.BlockSpec((1, D, K), lambda i, pairs: (pairs[i, 1], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),        # (C, K, D) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),        # (C, D, K) in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, K), lambda i, pairs: (i, 0, 0))
-            for _ in range(4)
+        out_specs=[pl.BlockSpec((G, 4, K), lambda i, pairs: (i, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((G, K, D), jnp.float32),
+            pltpu.VMEM((G, D, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.SemaphoreType.DMA((G,)),
         ],
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((Np, 1, K), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1, K), jnp.int32),
-        jax.ShapeDtypeStruct((Np, 1, K), jnp.float32),
-        jax.ShapeDtypeStruct((Np, 1, K), jnp.int32),
-    ]
-    outs = pl.pallas_call(
-        _pairs_kernel, grid_spec=grid_spec, out_shape=out_shape,
+    out, = pl.pallas_call(
+        partial(_pairs_kernel, G=G), grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((npad, 4, K), jnp.float32)],
         interpret=interpret,
     )(pairs, d32, d32_t)
-    return tuple(o[:, 0, :] for o in outs)
+    out = out[:Np]
+    return (out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2],
+            out[:, 3].astype(jnp.int32))
 
 
+def _pairs_fused_kernel(pairs_ref, d_hbm, dt_hbm, ma_hbm, mb_hbm, o_ref,
+                        b_buf, at_buf, ma_buf, mb_buf, sem_a, sem_b,
+                        sem_ma, sem_mb, *, G: int, ratio: float,
+                        cross_check: bool):
+    """Fully-fused pairwise matcher: similarity tile + top-2 + ratio test +
+    mask handling + mutual-best cross-check, all in VMEM.  The wrapper's
+    former take_along_axis postprocessing was (Np,K) ELEMENT gathers in
+    XLA — measured: it halved end-to-end pairs/s.  Masked columns are
+    NEG'd before the reductions (the dense matcher's -inf convention), so
+    winners never land on masked keypoints and the ratio test sees only
+    valid competitors.  Mutual-best is computed as "cell == its row max ==
+    its column max" — no index gather needed; ties (exact float equality
+    of distinct similarities) are astronomically unlikely and the dense
+    matcher's tie behavior is arbitrary too."""
+    i = pl.program_id(0)
+    copies = []
+    for j in range(G):
+        pa = pairs_ref[i * G + j, 0]
+        pb = pairs_ref[i * G + j, 1]
+        cs = (pltpu.make_async_copy(d_hbm.at[pb], b_buf.at[j], sem_a.at[j]),
+              pltpu.make_async_copy(dt_hbm.at[pa], at_buf.at[j], sem_b.at[j]),
+              pltpu.make_async_copy(ma_hbm.at[pa], ma_buf.at[j], sem_ma.at[j]),
+              pltpu.make_async_copy(mb_hbm.at[pb], mb_buf.at[j], sem_mb.at[j]))
+        for c in cs:
+            c.start()
+        copies.append(cs)
+    for j in range(G):
+        for c in copies[j]:
+            c.wait()
+        b = b_buf[j].astype(jnp.bfloat16)                # (K, D) image b
+        at = at_buf[j].astype(jnp.bfloat16)              # (D, K) image a
+        # TRANSPOSED tile (b on sublanes, a on lanes): every per-a-keypoint
+        # reduction (max/argmax/second/mutual) runs along SUBLANES, which
+        # the VPU reduces far faster than cross-lane; only the per-b column
+        # max for the cross-check pays a lane reduction.
+        sim = jnp.dot(b, at, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)   # (Kb, Ka)
+        mb = mb_buf[j, 0, :][:, None]                    # (Kb, 1) 0/1 rows
+        sim = jnp.where(mb > 0.0, sim, NEG)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
+        a1 = jnp.argmax(sim, axis=0)                     # (Ka,) best b
+        s1 = jnp.max(sim, axis=0)
+        sim2 = jnp.where(row == a1[None, :], NEG, sim)
+        s2 = jnp.max(sim2, axis=0)
+        d1 = jnp.maximum(2.0 - 2.0 * s1, 0.0)
+        d2 = jnp.maximum(2.0 - 2.0 * s2, 1e-12)
+        ok = (d1 < ratio * ratio * d2) & (ma_buf[j, 0, :] > 0.0)
+        if cross_check:
+            bmax = jnp.max(sim, axis=1)                  # (Kb,) per-b max
+            mutual = jnp.any((sim == s1[None, :]) & (sim == bmax[:, None]),
+                             axis=0)
+            ok &= mutual
+        o_ref[j, 0] = s1
+        o_ref[j, 1] = a1.astype(jnp.float32)
+        o_ref[j, 2] = ok.astype(jnp.float32)
+        o_ref[j, 3] = s2
+
+
+@partial(jax.jit, static_argnames=("ratio", "cross_check", "interpret"))
 def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
                              pairs: jax.Array, *, ratio: float = 0.8,
                              cross_check: bool = True,
                              interpret: bool | None = None):
-    """Drop-in for matching.match_pairs_float via the VMEM-tile kernel.
+    """Drop-in for matching.match_pairs_float via the fully-fused VMEM-tile
+    kernel (no XLA postprocessing at all).
 
-    Accept set matches the dense matcher for valid rows up to the zero-mask
-    convention (module docstring): the ratio test can only get stricter.
-    """
+    Score contract matches the dense matcher: raw best similarity over
+    VALID columns (-inf convention) for every row; `valid` is the accept
+    mask (ratio + masks + mutual-best cross-check)."""
     from .matching import MatchResult
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    d = jnp.where(masks[..., None], descs, 0.0)
-    s1, i1, s2, j1 = match_pairs_top2(d, pairs, interpret=interpret)
+    C, K, D = descs.shape
+    Np = pairs.shape[0]
+    G = 8
+    npad = _round_up(Np, G)
+    if npad != Np:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((npad - Np, 2), pairs.dtype)], axis=0)
+    d32 = descs.astype(jnp.float32)
+    d32_t = jnp.swapaxes(d32, 1, 2)
+    # (C, 8, K): mask rows broadcast across a full sublane tile so the
+    # per-pair manual DMA slices an aligned (8, K) block, not a 1-row one
+    m32 = jnp.broadcast_to(masks.astype(jnp.float32)[:, None, :],
+                           (C, 8, K))
 
-    K = descs.shape[1]
-    mask_a = masks[pairs[:, 0]]                          # (Np, K)
-    mask_b = masks[pairs[:, 1]]
-    d1 = jnp.maximum(2.0 - 2.0 * s1, 0.0)
-    d2 = jnp.maximum(2.0 - 2.0 * s2, 1e-12)
-    ok = (d1 < ratio * ratio * d2) & mask_a
-    ok &= jnp.take_along_axis(mask_b, i1, axis=1)
-    if cross_check:
-        back = jnp.take_along_axis(j1, i1, axis=1)       # (Np, K)
-        ok &= back == jnp.arange(K)[None, :]
-    # MatchResult contract (matching.MatchResult): score is the raw best
-    # similarity for every row, valid is the accept mask — consumers that
-    # read score without gating on valid see the same values as the dense
-    # matcher.  (Zero-masked rows yield s1=0, same as a dense masked row
-    # would only up to the -inf convention; such rows are never valid.)
-    return MatchResult(idx=i1, valid=ok, score=s1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(npad // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec((G, 4, K), lambda i, pairs: (i, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((G, K, D), jnp.float32),
+            pltpu.VMEM((G, D, K), jnp.float32),
+            pltpu.VMEM((G, 8, K), jnp.float32),
+            pltpu.VMEM((G, 8, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.SemaphoreType.DMA((G,)),
+            pltpu.SemaphoreType.DMA((G,)),
+        ],
+    )
+    out, = pl.pallas_call(
+        partial(_pairs_fused_kernel, G=G, ratio=ratio,
+                cross_check=cross_check),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((npad, 4, K), jnp.float32)],
+        interpret=interpret,
+    )(pairs, d32, d32_t, m32, m32)
+    out = out[:Np]
+    return MatchResult(idx=out[:, 1].astype(jnp.int32),
+                       valid=out[:, 2] > 0.0, score=out[:, 0])

@@ -51,6 +51,10 @@ class ReconConfig:
     # runs in checkpointed chunks and resumes from ckpt after a crash
     final_ba_ckpt: str | None = None
     final_ba_ckpt_every: int = 10
+    # fused dense-layout BA (kernels/segsum.py): "auto" = on TPU once the
+    # obs table is big enough to amortize the layout build + recompiles
+    dense_ba: str = "auto"            # auto | on | off
+    dense_ba_min_obs: int = 20000
     seed: int = 0
 
 
@@ -310,6 +314,23 @@ def reconstruct(
         X[newly] = Xn[newly]
         X_alive[newly] = True
 
+    def dense_ba_kwargs():
+        """Static bounds for the fused dense-layout BA (pow2-bucketed so a
+        growing map re-jits O(log) times, not per call)."""
+        if cfg.dense_ba == "off" or (cfg.dense_ba == "auto" and (
+                jax.default_backend() != "tpu"
+                or len(obs_pt) < cfg.dense_ba_min_obs)):
+            return {}
+        from ..kernels import segsum
+
+        tp = int(np.bincount(obs_pt, minlength=T).max())
+        tp = 1 << max(3, (max(tp, 1) - 1).bit_length())
+        order = np.argsort(obs_pt, kind="stable")
+        wc = segsum.compute_cam_window(obs_pt[order], obs_cam[order],
+                                       T, C, tp)
+        wc = 128 * (1 << max(0, (wc // 128 - 1).bit_length()))
+        return dict(tp_cap=tp, dense_cg=True, cam_window=wc)
+
     def run_ba(iters, ckpt_path=None):
         nonlocal cam_R, cam_t, X
         alive = obs_alive_mask()
@@ -322,6 +343,7 @@ def reconstruct(
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
             jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uv, jnp.float32),
             jnp.asarray(w), jnp.asarray(fixed))
+        dkw = dense_ba_kwargs()
         if ckpt_path is not None:
             # checkpointed final solve: chunks + resume (SURVEY §5.3)
             from ..solvers import ba_ckpt
@@ -329,12 +351,12 @@ def reconstruct(
             R2, t2, X2, costs, _ = ba_ckpt.ba_solve_checkpointed(
                 *ba_args, total_iters=iters,
                 ckpt_every=cfg.final_ba_ckpt_every, ckpt_path=ckpt_path,
-                cg_iters=cfg.cg_iters, huber_px=cfg.huber_px)
+                cg_iters=cfg.cg_iters, huber_px=cfg.huber_px, **dkw)
         else:
             R2, t2, X2, costs = lm.ba_solve(
                 *ba_args,
                 iters=iters, cg_iters=cfg.cg_iters, huber_px=cfg.huber_px,
-            )
+                **dkw)
         # np.array (copy): jax->numpy views are read-only, host state is mutable
         cam_R = np.array(R2)
         cam_t = np.array(t2)

@@ -36,7 +36,7 @@ def load_ckpt(path: str | Path):
 def ba_solve_checkpointed(
     intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, fixed_cam_mask, *,
     total_iters: int = 40, ckpt_every: int = 10, ckpt_path: str | Path,
-    cg_iters: int = 30, huber_px: float = 4.0, ba_fn=None,
+    cg_iters: int = 30, huber_px: float = 4.0, ba_fn=None, **ba_kwargs,
 ):
     """Run BA in ckpt_every-sized chunks, checkpointing between chunks.
 
@@ -66,7 +66,7 @@ def ba_solve_checkpointed(
             R, t, X, costs, lam = lm.ba_solve(
                 intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid,
                 fixed_cam_mask, iters=n, cg_iters=cg_iters, huber_px=huber_px,
-                init_lambda=lam, return_lam=True,
+                init_lambda=lam, return_lam=True, **ba_kwargs,
             )
         else:
             R, t, X, costs, lam = ba_fn(intr, k_idx, R, t, X, cam_id, pt_id,

@@ -209,6 +209,90 @@ def test_pcg_dense_windowed_matches_planes():
     assert resid(dx_d) <= resid(dx_p) * 1.5, (resid(dx_d), resid(dx_p))
 
 
+def _raw_local_scene(C=300, P=2048, O=6000, tp_cap=16, seed=3):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-10, 10, (P, 3)).astype(np.float32)
+    t = np.concatenate([rng.uniform(-2, 2, (C, 2)), np.full((C, 1), 25.0)],
+                       1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    pt_id = np.sort(rng.integers(0, P, O).astype(np.int32))
+    base_cam = (pt_id.astype(np.float64) / P * (C - 6)).astype(np.int32)
+    cam_id = (base_cam + rng.integers(0, 6, O)).astype(np.int32)
+    Xc = X[pt_id] + t[cam_id]
+    uv = ((Xc[:, :2] / Xc[:, 2:3]) * 500.0 + np.asarray([320.0, 240.0])
+          + 0.3 * rng.standard_normal((O, 2))).astype(np.float32)
+    intr = jnp.asarray([[500.0, 500.0, 320.0, 240.0, 0, 0.01, 0]],
+                       np.float32)
+    return (intr, jnp.zeros(C, jnp.int32), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(X), jnp.asarray(cam_id), jnp.asarray(pt_id),
+            jnp.asarray(uv), jnp.ones(O, jnp.float32), tp_cap)
+
+
+def test_fused_assembly_matches_planes():
+    """ba_assemble_fused (interpret) reproduces the planes pipeline's
+    U/V/W/b blocks and robust cost, including Huber weights and radial
+    distortion, through the windowed camera gather."""
+    (intr, k_idx, R, t, X, cam_id, pt_id, uv, w, tp_cap) = _raw_local_scene()
+    C, P = R.shape[0], X.shape[0]
+    delta = 4.0 / 500.0
+    wc = segsum.compute_cam_window(np.asarray(pt_id), np.asarray(cam_id),
+                                   P, C, tp_cap)
+    r, Jc, Jp = lm._jacobians_planes(intr, k_idx, R, t, X, cam_id, pt_id, uv)
+    r2 = jnp.sum(r * r, -1)
+    wh = w * lm.huber_weight(r2, delta)
+    nbp = schur.assemble_planes(Jc, Jp, r, wh, cam_id, pt_id, C, P,
+                                pt_sorted=True)
+    cost_ref = float(lm.robust_cost(r2, w, delta))
+
+    dense = segsum.build_dense_obs(pt_id, cam_id, P, C, tp_cap,
+                                   cam_window=wc)
+    uvw = segsum.pack_rows(dense, jnp.concatenate([uv, w[:, None]], 1))
+    cam19 = segsum.build_cam_table(intr, k_idx, R, t)
+    pp = dense.camp.shape[1]
+    x8 = jnp.zeros((8, pp), jnp.float32).at[:3, :P].set(X.T)
+    u96, v16, Wp = segsum.ba_assemble_fused(
+        cam19, dense.camp, uvw, x8, delta, tp=tp_cap, bases=dense.bases,
+        cam_window=wc, interpret=True)
+    ub = u96[:48] + u96[48:]
+    U = ub[:36, :C].T.reshape(C, 6, 6)
+
+    def rel(a, b):
+        return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-20))
+
+    assert rel(U, nbp.U) < 1e-4
+    assert rel(ub[36:42, :C].T, nbp.b_c) < 2e-3   # near-cancelling sums
+    assert rel(v16[:9, :P].T, nbp.V9) < 1e-4
+    assert rel(v16[9:12, :P].T, nbp.b_p) < 1e-3
+    assert rel(Wp, segsum.pack_rows(dense, nbp.W18)) < 1e-4
+    np.testing.assert_allclose(float(jnp.sum(v16[12])), cost_ref, rtol=1e-4)
+
+
+def test_cost_fused_matches_eval():
+    """The 2-candidate fused cost kernel == lm._eval_cost per candidate."""
+    (intr, k_idx, R, t, X, cam_id, pt_id, uv, w, tp_cap) = _raw_local_scene()
+    C, P = R.shape[0], X.shape[0]
+    delta = 4.0 / 500.0
+    wc = segsum.compute_cam_window(np.asarray(pt_id), np.asarray(cam_id),
+                                   P, C, tp_cap)
+    dense = segsum.build_dense_obs(pt_id, cam_id, P, C, tp_cap,
+                                   cam_window=wc)
+    uvw = segsum.pack_rows(dense, jnp.concatenate([uv, w[:, None]], 1))
+    pp = dense.camp.shape[1]
+    cam19s = jnp.concatenate(
+        [segsum.build_cam_table(intr, k_idx, R, t),
+         segsum.build_cam_table(intr, k_idx, R, t + 0.01)], 0)
+    x8s = (jnp.zeros((16, pp), jnp.float32)
+           .at[:3, :P].set(X.T).at[8:11, :P].set(X.T + 0.005))
+    costs = segsum.ba_cost_fused(cam19s, dense.camp, uvw, x8s, delta,
+                                 tp=tp_cap, nc=2, bases=dense.bases,
+                                 cam_window=wc, interpret=True)
+    c0 = lm._eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w, delta)
+    c1 = lm._eval_cost(intr, k_idx, R, t + 0.01, X + 0.005,
+                       cam_id, pt_id, uv, w, delta)
+    np.testing.assert_allclose(float(costs[0]), float(c0), rtol=1e-4)
+    np.testing.assert_allclose(float(costs[1]), float(c1), rtol=1e-4)
+
+
 def test_ba_solve_dense_cg_parity():
     """Full LM with the dense/fused CG converges identically (costs) to the
     planes path on a perturbed orbit scene."""

@@ -142,3 +142,19 @@ def test_ransac_sampling_valid_and_distinct():
     assert np.all((idx >= 10) & (idx < 30))
     for row in idx:
         assert len(set(row.tolist())) == 6
+
+
+def test_inv_spd6_blocked_matches_lu():
+    """Blocked 3x3-Schur 6x6 SPD inverse == LU inverse (PCG preconditioner
+    path; the blocked form is ~4.5x faster in-program on TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from sfmx.solvers.schur import _inv_spd6
+
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((64, 6, 6)).astype(np.float32)
+    M = A @ A.transpose(0, 2, 1) + 6 * np.eye(6, dtype=np.float32)
+    ref = np.linalg.inv(M)
+    out = np.asarray(_inv_spd6(jnp.asarray(M)))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4 * np.abs(ref).max())
