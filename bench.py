@@ -216,6 +216,44 @@ def streaming_localize_fps():
     return B * reps / (time.time() - t0)
 
 
+def tracking_fps():
+    """Sequential tracking steady state (localize/tracking.py): the whole
+    frame sequence runs as ONE lax.scan device program — no per-frame
+    dispatch or host sync.  min_conf=0 keeps the tracker in the prior-gated
+    branch after frame 0, so this measures the TRACKED steady state (the
+    prior-gated program is the same compute as global localization plus the
+    prior mask).  Frames/s for a strictly sequential single-camera stream —
+    the reference's NavCog deployment pattern (SURVEY §3.2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_map
+    from sfmx.localize.tracking import TrackingConfig
+
+    N, K = 64, K_FEAT
+    lmap = jax.device_put(_example_map(P=P_MAP, C=C_KF, D=128, Kc=256))
+    rng = np.random.default_rng(2)
+    q_desc = rng.standard_normal((N, K, 128)).astype(np.float32)
+    q_desc /= np.linalg.norm(q_desc, axis=-1, keepdims=True)
+    q_uv = rng.uniform(0, W, (N, K, 2)).astype(np.float32)
+    q_mask = np.ones((N, K), bool)
+    intr = jnp.asarray([560.0, 560.0, W / 2, H / 2, 0, 0, 0], jnp.float32)
+    from sfmx.localize.tracking import _sequence_scan
+
+    cfg = TrackingConfig(radius=1e6, min_conf=0.0, min_inliers=0,
+                         k_hypotheses=512, m_cap=2048)
+    fn = jax.jit(lambda d, u, m, k: _sequence_scan(lmap, d, u, m, intr, k,
+                                                   cfg))
+    args = (jnp.asarray(q_desc), jnp.asarray(q_uv), jnp.asarray(q_mask))
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    out = fn(*args, keys)
+    _force(out[0].confidence)
+    t0 = time.time()
+    out = fn(*args, jax.random.split(jax.random.PRNGKey(1), N))
+    _force(out[0].confidence)
+    return N / (time.time() - t0)
+
+
 def tpu_frames_per_s():
     import jax
     import jax.numpy as jnp
@@ -328,6 +366,7 @@ def main():
         extras["ba_lm_iters_per_s"] = round(ips, 2)
         extras["ba_hbm_roofline_frac"] = round(frac, 3)
         extras["streaming_localize_fps"] = round(streaming_localize_fps(), 1)
+        extras["tracking_fps"] = round(tracking_fps(), 1)
     except Exception as e:
         print(f"# sub-bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -80,6 +80,10 @@ def config2_scale(frames: int):
             tmp / "imgs" / f"{i:04d}.png")
 
     # capture stage JSON-lines so the breakdown lands in this report
+    # The walk covers a FIXED path, so per-frame baseline shrinks ~1/frames;
+    # the temporal match window must widen proportionally or every proposed
+    # pair is below the triangulation parallax gate (~1.2 cm/frame at 512).
+    window = max(6, frames // 32)
     buf = io.StringIO()
     old_stream = LOGGER._stream
     LOGGER._stream = buf
@@ -89,7 +93,8 @@ def config2_scale(frames: int):
             "build-map", str(tmp / "imgs"), "-o", str(tmp / "map"),
             "--stream", "--chunk", "16", "--workdir", str(tmp / "work"),
             "-D", "match.pair_mode=retrieval", "-D", "match.retrieval_k=6",
-            "-D", "match.window=6", "-D", "features.max_keypoints=512",
+            "-D", f"match.window={window}",
+            "-D", "features.max_keypoints=512",
             "-D", "resize_to=320,240", "-D", "focal_factor=0.875",
         ])
     finally:

@@ -42,9 +42,9 @@ def _pairs_kernel(pairs_ref, a_hbm, bt_hbm, o_ref, a_buf, bt_buf,
     i = pl.program_id(0)
     copies = []
     for j in range(G):
-        ca = pltpu.make_async_copy(a_hbm.at[pairs_ref[i * G + j, 0]],
+        ca = pltpu.make_async_copy(a_hbm.at[pairs_ref[2 * (i * G + j)]],
                                    a_buf.at[j], sem_a.at[j])
-        cb = pltpu.make_async_copy(bt_hbm.at[pairs_ref[i * G + j, 1]],
+        cb = pltpu.make_async_copy(bt_hbm.at[pairs_ref[2 * (i * G + j) + 1]],
                                    bt_buf.at[j], sem_b.at[j])
         ca.start()
         cb.start()
@@ -117,11 +117,14 @@ def match_pairs_top2(descs: jax.Array, pairs: jax.Array, *,
             pltpu.SemaphoreType.DMA((G,)),
         ],
     )
+    # pairs prefetch is FLAT (2*Np,): a 2-D (Np,2) SMEM operand pads its
+    # minor dim to 128 lanes — 64x the memory, overflowing the 1 MB SMEM
+    # for thousand-pair lists
     out, = pl.pallas_call(
         partial(_pairs_kernel, G=G), grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((npad, 4, K), jnp.float32)],
         interpret=interpret,
-    )(pairs, d32, d32_t)
+    )(pairs.reshape(-1), d32, d32_t)
     out = out[:Np]
     return (out[:, 0], out[:, 1].astype(jnp.int32), out[:, 2],
             out[:, 3].astype(jnp.int32))
@@ -144,8 +147,8 @@ def _pairs_fused_kernel(pairs_ref, d_hbm, dt_hbm, ma_hbm, mb_hbm, o_ref,
     i = pl.program_id(0)
     copies = []
     for j in range(G):
-        pa = pairs_ref[i * G + j, 0]
-        pb = pairs_ref[i * G + j, 1]
+        pa = pairs_ref[2 * (i * G + j)]
+        pb = pairs_ref[2 * (i * G + j) + 1]
         cs = (pltpu.make_async_copy(d_hbm.at[pb], b_buf.at[j], sem_a.at[j]),
               pltpu.make_async_copy(dt_hbm.at[pa], at_buf.at[j], sem_b.at[j]),
               pltpu.make_async_copy(ma_hbm.at[pa], ma_buf.at[j], sem_ma.at[j]),
@@ -204,7 +207,11 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
     C, K, D = descs.shape
     Np = pairs.shape[0]
     G = 8
-    npad = _round_up(Np, G)
+    # The pair list is a scalar-prefetch operand and must fit SMEM (1 MB):
+    # big pair lists (hundreds of frames x retrieval fan-out) are processed
+    # in fixed chunks through ONE compiled kernel via lax.map.
+    chunk = min(4096, _round_up(Np, G))
+    npad = _round_up(Np, chunk)
     if npad != Np:
         pairs = jnp.concatenate(
             [pairs, jnp.zeros((npad - Np, 2), pairs.dtype)], axis=0)
@@ -217,7 +224,7 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(npad // G,),
+        grid=(chunk // G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=[pl.BlockSpec((G, 4, K), lambda i, pairs: (i, 0, 0))],
         scratch_shapes=[
@@ -231,13 +238,21 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
             pltpu.SemaphoreType.DMA((G,)),
         ],
     )
-    out, = pl.pallas_call(
+    call = pl.pallas_call(
         partial(_pairs_fused_kernel, G=G, ratio=ratio,
                 cross_check=cross_check),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((npad, 4, K), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((chunk, 4, K), jnp.float32)],
         interpret=interpret,
-    )(pairs, d32, d32_t, m32, m32)
+    )
+    # flat prefetch: see match_pairs_top2 (2-D SMEM operands pad to 128 lanes)
+    if npad == chunk:
+        out, = call(pairs.reshape(-1), d32, d32_t, m32, m32)
+    else:
+        outs = jax.lax.map(
+            lambda p: call(p, d32, d32_t, m32, m32)[0],
+            pairs.reshape(npad // chunk, chunk * 2))
+        out = outs.reshape(npad, 4, K)
     out = out[:Np]
     return MatchResult(idx=out[:, 1].astype(jnp.int32),
                        valid=out[:, 2] > 0.0, score=out[:, 0])

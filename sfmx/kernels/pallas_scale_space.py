@@ -153,9 +153,28 @@ def response_level(level: jax.Array, d: int, *, interpret: bool = False) -> jax.
 
 def build_scale_space_and_response(images: jax.Array, cfg: ScaleSpaceConfig, *,
                                    interpret: bool = False):
-    """Fused pipeline front: (B,H,W) -> (levels, resp) both (B,L,H,W)."""
+    """Fused pipeline front: (B,H,W) -> (levels, resp) both (B,L,H,W).
+
+    Images whose width is not a lane-tile multiple (128) or height not a
+    sublane multiple (8) are EDGE-REPLICATE padded before the kernels and
+    sliced back after: Mosaic rejects misaligned VMEM slices ("Slice shape
+    along dimension 2 must be aligned to tiling"), and replicate edges are
+    better-behaved than the oracle's circular wrap anyway (wrap mixes
+    opposite image borders into the diffusion stencil).  Behavior differs
+    from the jnp oracle only within the borders' stencil reach.
+    """
+    B, H, W = images.shape
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    if (Hp != H or Wp != W) and not interpret:
+        images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                         mode="edge")
+    else:
+        Hp, Wp = H, W
     L0 = gaussian_blur(images, float(cfg.sigmas[0]))
-    k2 = contrast_k2(L0)[:, 0, 0]
+    # the contrast percentile is a GLOBAL per-image statistic: compute it on
+    # the unpadded region or padding perturbs every diffusion step
+    k2 = contrast_k2(L0[..., :H, :W])[:, 0, 0]
     times = 0.5 * cfg.sigmas**2
     levels = [L0]
     L = L0
@@ -167,4 +186,7 @@ def build_scale_space_and_response(images: jax.Array, cfg: ScaleSpaceConfig, *,
     resp = jnp.stack(
         [response_level(levels[:, i], int(cfg.sigma_levels[i]), interpret=interpret)
          for i in range(cfg.n_levels)], axis=1)
+    if Hp != H or Wp != W:
+        levels = levels[..., :H, :W]
+        resp = resp[..., :H, :W]
     return levels, resp

@@ -113,17 +113,80 @@ class SequenceLocalizer:
         return res, via_prior and accepted
 
 
+def _sequence_scan(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr, keys,
+                   cfg: TrackingConfig):
+    """Whole-sequence tracking as ONE device program (lax.scan).
+
+    The host version pays two dispatches and two blocking host reads per
+    frame (~23 ms each on the axon backend — the sync dominates the actual
+    localization); here the (center, tracked, coast) state stays on-device
+    and frames run back-to-back.  Same decision logic as
+    ``SequenceLocalizer.step``, cond-gated: the prior-gated search runs
+    only while tracked, and global relocalization only when the prior-gated
+    result is not accepted.
+    """
+    c = cfg
+    kw = dict(top_k_kf=c.top_k_kf, m_cap=c.m_cap,
+              k_hypotheses=c.k_hypotheses, px_thresh=c.px_thresh,
+              sim_thresh=c.sim_thresh, min_inliers=c.min_inliers,
+              pnp_solver=c.pnp_solver, **c.extra)
+
+    def empty_result():
+        return LocalizeResult(
+            R=jnp.eye(3, dtype=jnp.float32), t=jnp.zeros(3, jnp.float32),
+            n_inliers=jnp.asarray(0, jnp.int32),
+            confidence=jnp.asarray(0.0, jnp.float32),
+            center=jnp.zeros(3, jnp.float32))
+
+    def step(carry, x):
+        center, tracked, coast = carry
+        d, u, m, k = x
+        res1 = jax.lax.cond(
+            tracked,
+            lambda: localize_query(lmap, d, u, m, intr, k,
+                                   prior_center=center,
+                                   prior_radius=c.radius, **kw),
+            empty_result)
+        via_prior = tracked & (res1.confidence >= c.min_conf)
+        res = jax.lax.cond(
+            via_prior,
+            lambda: res1,
+            lambda: localize_query(lmap, d, u, m, intr, k, **kw))
+        accepted = res.confidence >= c.min_conf
+        center2 = jnp.where(accepted, res.center, center)
+        coast2 = jnp.where(accepted, 0, coast + 1)
+        tracked2 = jnp.where(accepted, True,
+                             tracked & (coast2 <= c.max_coast))
+        return ((center2, tracked2, coast2),
+                (res, via_prior & accepted, accepted, via_prior))
+
+    init = (jnp.zeros(3, jnp.float32), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32))
+    _, out = jax.lax.scan(step, init, (q_desc, q_uv, q_mask, keys))
+    return out
+
+
 def localize_sequence(lmap: LocalizationMap, q_desc, q_uv, q_mask, intr,
                       key, cfg: TrackingConfig | None = None):
-    """Convenience wrapper: localize a whole (N,K,...) feature sequence.
+    """Localize a whole (N,K,...) feature sequence with temporal tracking.
 
     Returns (list[LocalizeResult], list[bool] tracked flags, stats dict).
+    Runs as one jitted lax.scan over the frames (see ``_sequence_scan``).
     """
-    seq = SequenceLocalizer(lmap, intr, cfg)
-    keys = jax.random.split(key, q_desc.shape[0])
-    results, flags = [], []
-    for i in range(q_desc.shape[0]):
-        r, f = seq.step(q_desc[i], q_uv[i], q_mask[i], keys[i])
-        results.append(r)
-        flags.append(f)
-    return results, flags, seq.stats
+    cfg = cfg or TrackingConfig()
+    n = q_desc.shape[0]
+    keys = jax.random.split(key, n)
+    res_b, flags_b, acc_b, via_b = jax.jit(
+        lambda d, u, m, i, k: _sequence_scan(lmap, d, u, m, i, k, cfg))(
+        jnp.asarray(q_desc), jnp.asarray(q_uv), jnp.asarray(q_mask),
+        jnp.asarray(intr), keys)
+    flags = [bool(f) for f in np.asarray(flags_b)]
+    acc = np.asarray(acc_b)
+    via = np.asarray(via_b)
+    results = [jax.tree_util.tree_map(lambda x, i=i: x[i], res_b)
+               for i in range(n)]
+    stats = {"frames": n,
+             "tracked": int((acc & via).sum()),
+             "relocalized": int((acc & ~via).sum()),
+             "lost": int((~acc).sum())}
+    return results, flags, stats

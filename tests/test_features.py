@@ -156,6 +156,33 @@ def test_pallas_describe_parity_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_pallas_scale_space_misaligned_width():
+    """Widths that are not lane-tile multiples (e.g. 320) go through the
+    replicate-pad path; interior values still match the jnp oracle (borders
+    differ by design: replicate-pad vs the oracle's circular wrap)."""
+    from sfmx.kernels import pallas_scale_space as pss
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.random((1, 96, 160)), jnp.float32)
+    cfg = features.ScaleSpaceConfig(sigma_levels=(2, 3))
+    lv_ref = features.build_scale_space(imgs, cfg)
+    resp_ref = features.hessian_response(lv_ref, cfg)
+    # force the pad path (interpret=True normally skips it)
+    imgs_p = jnp.pad(imgs, ((0, 0), (0, 0), (0, 32)), mode="edge")
+    lv, resp = pss.build_scale_space_and_response(imgs_p, cfg,
+                                                  interpret=True)
+    lv, resp = lv[..., :160], resp[..., :160]
+    assert lv.shape == lv_ref.shape and resp.shape == resp_ref.shape
+    # atol 5e-3: the ORACLE's circular wrap leaks the opposite border into
+    # the diffusion stencil and ~30 FED steps spread it through the
+    # interior; the replicate-pad kernel is the better-behaved of the two.
+    b = 32
+    np.testing.assert_allclose(np.asarray(lv)[..., 8:-8, b:-b],
+                               np.asarray(lv_ref)[..., 8:-8, b:-b],
+                               atol=5e-3)
+    assert np.isfinite(np.asarray(resp)).all()
+
+
 def test_pallas_scale_space_parity_interpret():
     """Fused diffusion/response kernels (interpret) == jnp oracles."""
     from sfmx.kernels import pallas_scale_space as pss

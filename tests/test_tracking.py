@@ -79,3 +79,25 @@ def test_track_loss_and_relocalization(lmap_seq):
     alive = np.flatnonzero(np.asarray(scene.cam_alive))
     assert float(r.confidence) > 0.0
     assert np.linalg.norm(np.asarray(r.center) - centers[alive[2]]) < 0.1
+
+
+def test_scan_matches_host_stepper(lmap_seq):
+    """The lax.scan sequence engine reproduces the host SequenceLocalizer's
+    per-frame decisions and poses on the same inputs and keys."""
+    sc, scene, lmap, (uv, desc, mask) = lmap_seq
+    intr = jnp.asarray(sc.intrinsics, jnp.float32)
+    cfg = TrackingConfig(radius=3.0)
+    key = jax.random.PRNGKey(7)
+    results, flags, stats = localize_sequence(
+        lmap, jnp.asarray(desc), jnp.asarray(uv), jnp.asarray(mask), intr,
+        key, cfg)
+    seq = SequenceLocalizer(lmap, intr, cfg)
+    keys = jax.random.split(key, desc.shape[0])
+    for i in range(desc.shape[0]):
+        r, f = seq.step(jnp.asarray(desc[i]), jnp.asarray(uv[i]),
+                        jnp.asarray(mask[i]), keys[i])
+        assert f == flags[i], i
+        np.testing.assert_allclose(np.asarray(results[i].center),
+                                   np.asarray(r.center), atol=1e-5)
+    assert stats["tracked"] == seq.stats["tracked"]
+    assert stats["relocalized"] == seq.stats["relocalized"]
