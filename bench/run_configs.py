@@ -82,8 +82,10 @@ def config2_scale(frames: int):
     # capture stage JSON-lines so the breakdown lands in this report
     # The walk covers a FIXED path, so per-frame baseline shrinks ~1/frames;
     # the temporal match window must widen proportionally or every proposed
-    # pair is below the triangulation parallax gate (~1.2 cm/frame at 512).
-    window = max(6, frames // 32)
+    # pair is below the triangulation parallax gate (measured at 512 frames:
+    # 1.2 cm/frame steps, a 16-frame window maxed out at 1.14 deg median
+    # triangulation angle vs the 1.5 deg gate — frames//8 reaches ~5 deg).
+    window = max(6, frames // 8)
     buf = io.StringIO()
     old_stream = LOGGER._stream
     LOGGER._stream = buf

@@ -114,11 +114,14 @@ def match_pairs_float_auto(descs: jax.Array, masks: jax.Array,
     """
     K, D = descs.shape[1], descs.shape[2]
     aligned = K % 8 == 0 and D % 128 == 0
-    # VMEM budget: the kernel holds a (K,K) f32 similarity tile, two (K,D)
-    # f32 blocks (double-buffered by the pipeline), and bf16 casts.  Bound
-    # the footprint well under the ~16 MB/core VMEM so auto never hands
-    # Mosaic an uncompilable tile (e.g. K=4096 -> 64 MB sim tile).
-    vmem_bytes = 4 * K * K + 4 * 4 * K * D + 2 * (K * K + 2 * K * D)
+    # VMEM budget: the fused kernel (pallas_pairs.py) holds G=8 pairs of
+    # (K,D) f32 descriptor buffers + (8,K) mask rows in scratch, plus one
+    # (K,K) f32 similarity tile and its bf16 temporaries.  Bound the
+    # footprint well under the ~16 MB/core VMEM so auto never hands Mosaic
+    # an uncompilable tile (e.g. K=4096 -> 64 MB sim tile).
+    G = 8
+    vmem_bytes = (2 * G * K * D * 4 + 2 * G * 8 * K * 4
+                  + 4 * K * K + 2 * K * K + 4 * K * D)
     fits_vmem = vmem_bytes <= 12 * 1024 * 1024
     use_pallas = kernel == "pallas" or (
         kernel == "auto" and aligned and fits_vmem

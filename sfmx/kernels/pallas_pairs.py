@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: batched pairwise matching with VMEM-resident tiles.
+"""Pallas TPU kernels: batched pairwise matching with VMEM-resident tiles.
 
 Capability parity: OpenMVG's pairwise brute-force matcher (SURVEY C3, §3.1
 hot loop 2) — this is the map-build matching hot path.
@@ -6,17 +6,21 @@ hot loop 2) — this is the map-build matching hot path.
 Why: the jnp matcher (`matching.match_pairs_float`) materializes the
 (Np, K, K) similarity tensor in HBM — at 512 pairs x 512 x 512 that is
 0.5 GB written + re-read by top_k and the cross-check argmax.  Measured on
-chip it runs ~0.6% MFU: pure HBM traffic.  Here the grid runs one image
-pair per step, DMA-ing just the two (K, D) descriptor blocks into VMEM
-(scalar-prefetched pair indices drive the block index_map — the dictionary
--gather pattern), computing the (K, K) similarity tile on the MXU, and
-reducing best/second/col-argmax entirely in VMEM.  HBM traffic per pair
-drops from O(K^2) to O(K*D + K): ~30x less.
+chip it runs ~0.7% MFU: pure HBM traffic.
 
-Masking convention (same trade-off as pallas_match.py): invalid rows are
-zeroed, not -inf'd — a zero column can only displace the true second-best
-downward (making the ratio test conservative), and invalid winners are
-rejected by the caller's mask_b gather.
+`match_pairs_float_pallas` (the production entry, via
+``matching.match_pairs_float_auto``) is FULLY fused: G=8 pairs per grid
+step fetch their (K,D) descriptor blocks and mask rows by manual async
+copies (dictionary gather from HBM-resident inputs), the (K,K) similarity
+tile is computed TRANSPOSED on the MXU (candidates on sublanes, queries on
+lanes, so the per-query top-2/mutual reductions run along sublanes), and
+the ratio test, -inf masking, and gather-free mutual-best cross-check
+("cell == row max == column max") all happen in VMEM; the per-pair results
+leave in one (G,4,K) f32 block.  Measured on-chip: 13.9k -> 155k pairs/s
+vs the dense matcher (each fusion step isolated in BASELINE.md round 3).
+
+`match_pairs_top2` is the raw top-2 kernel variant (no masking/tests),
+kept for parity testing and composition.
 """
 from __future__ import annotations
 

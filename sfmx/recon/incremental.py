@@ -316,7 +316,15 @@ def reconstruct(
 
     def dense_ba_kwargs():
         """Static bounds for the fused dense-layout BA (pow2-bucketed so a
-        growing map re-jits O(log) times, not per call)."""
+        growing map re-jits O(log) times, not per call).
+
+        Long-track guard: the fused kernel unrolls the per-point slot loop
+        tp times, so a scene whose longest track spans hundreds of frames
+        (dense walkthroughs revisiting the same structure) would explode
+        the Mosaic compile AND pad every point column to that length.
+        Past tp=64 the planes path (unbounded track lengths, segment
+        reductions) is the right tool — fall back to it.
+        """
         if cfg.dense_ba == "off" or (cfg.dense_ba == "auto" and (
                 jax.default_backend() != "tpu"
                 or len(obs_pt) < cfg.dense_ba_min_obs)):
@@ -324,6 +332,8 @@ def reconstruct(
         from ..kernels import segsum
 
         tp = int(np.bincount(obs_pt, minlength=T).max())
+        if tp > 64 and cfg.dense_ba == "auto":
+            return {}
         tp = 1 << max(3, (max(tp, 1) - 1).bit_length())
         order = np.argsort(obs_pt, kind="stable")
         wc = segsum.compute_cam_window(obs_pt[order], obs_cam[order],
@@ -435,7 +445,17 @@ def reconstruct(
             X_alive[:] = False
             obs_pruned[:] = pruned_snap
     if best is None:
-        raise ReconError("no valid initial pair (all candidates failed to seed)")
+        if pair_order:
+            diag = (f"{len(pair_order)} candidates: "
+                    f"{int((cntc >= cfg.min_init_inliers).sum())} passed the "
+                    f"inlier gate (>= {cfg.min_init_inliers}; max {int(cntc.max())}), "
+                    f"{int(passing.sum())} also passed the parallax band "
+                    f"({cfg.min_parallax_deg}-60 deg; median "
+                    f"{float(np.median(parc)):.2f} deg, max {float(parc.max()):.2f})")
+        else:
+            diag = "no candidates proposed"
+        raise ReconError(
+            f"no valid initial pair (all candidates failed to seed): {diag}")
     med_px, (a, b), (cam_R, cam_t, X, X_alive, obs_pruned) = best
     registered[a] = registered[b] = True
     stats["init_pair"] = (a, b)
