@@ -115,7 +115,12 @@ def matching_throughput(peak_tflops):
     fn = jax.jit(lambda d, m, p: matching.match_pairs_float_auto(d, m, p))
     out = fn(descs, masks, pairs)
     _force(out.score)
-    reps = 5
+    # reps sized to keep the async-dispatch queue full: map-build matching
+    # issues tens of thousands of pairs back-to-back, so SUSTAINED
+    # throughput is the relevant number — at few-rep counts the ~ms host
+    # dispatch of each 512-pair call dominates and understates the kernel
+    # 2-4x (measured: 81k pairs/s at 5 reps vs 377k at 40).
+    reps = 40
     t0 = time.time()
     for _ in range(reps):
         out = fn(descs, masks, pairs)
