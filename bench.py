@@ -303,17 +303,79 @@ def tpu_frames_per_s():
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     out = query_path(imgs, key)
-    jax.block_until_ready(out)
+    _force(out.confidence)
     compile_s = time.time() - t0
 
-    # steady state
+    # steady state — fenced by a scalar host read (_force), NOT
+    # block_until_ready, which BASELINE.md documents as a no-op on this
+    # backend (VERDICT r3 weak item 1)
     reps = 5
     t0 = time.time()
     for i in range(reps):
         out = query_path(imgs, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out)
+    _force(out.confidence)
     dt = (time.time() - t0) / reps
     return B / dt, compile_s
+
+
+def accuracy_tripwire():
+    """Correctness gate run BEFORE any timing loop (VERDICT r3 weak item 4):
+    a geometrically consistent map — query descriptors ARE landmark
+    descriptors, q_uv ARE their projections at a known pose — must localize
+    with high inlier count and near-zero pose error through BOTH production
+    paths (gather localize_query and streaming).  A regression that returns
+    garbage poses at full speed now fails the bench instead of passing it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sfmx.localize.localize import (LocalizationMap, localize_query,
+                                        localize_batch_streaming)
+
+    P, C, Kc, D, K = 8192, 64, 128, 128, K_FEAT
+    rng = np.random.default_rng(42)
+    X = rng.uniform(-3.0, 3.0, (P, 3)).astype(np.float32)
+    X[:, 2] = rng.uniform(3.0, 8.0, P)          # in front of the camera
+    lm_desc = rng.standard_normal((P, D)).astype(np.float32)
+    lm_desc /= np.linalg.norm(lm_desc, axis=1, keepdims=True)
+    kf_lm = rng.permutation(P)[: C * Kc].reshape(C, Kc).astype(np.int32)
+    kf_g = lm_desc[kf_lm].mean(1)
+    kf_g /= np.maximum(np.linalg.norm(kf_g, axis=1, keepdims=True), 1e-8)
+    lmap = jax.device_put(LocalizationMap(
+        X=jnp.asarray(X), lm_desc=jnp.asarray(lm_desc),
+        lm_alive=jnp.ones(P, bool), kf_gdesc=jnp.asarray(kf_g),
+        kf_alive=jnp.ones(C, bool),
+        kf_centers=jnp.zeros((C, 3), jnp.float32),
+        kf_lm=jnp.asarray(kf_lm), kf_lm_mask=jnp.ones((C, Kc), bool)))
+    # ground-truth camera: R=I, t=0; query sees keyframes 0-3's landmarks
+    sel = kf_lm[:4].reshape(-1)[:K]
+    fx = fy = 560.0
+    q_desc = jnp.asarray(lm_desc[sel])
+    q_uv = jnp.asarray(np.stack([
+        fx * X[sel, 0] / X[sel, 2] + W / 2,
+        fy * X[sel, 1] / X[sel, 2] + H / 2], 1).astype(np.float32))
+    q_mask = jnp.ones(K, bool)
+    intr = jnp.asarray([fx, fy, W / 2, H / 2, 0, 0, 0], jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    res = localize_query(lmap, q_desc, q_uv, q_mask, intr, key,
+                         top_k_kf=8, m_cap=2048, k_hypotheses=512)
+    n_inl = int(res.n_inliers)
+    conf = float(res.confidence)
+    terr = float(jnp.linalg.norm(res.t))
+    rerr = float(jnp.linalg.norm(res.R - jnp.eye(3)))
+    assert n_inl >= K // 2, f"tripwire: gather path inliers {n_inl} < {K//2}"
+    assert conf > 0.5, f"tripwire: gather path confidence {conf}"
+    assert terr < 0.05, f"tripwire: gather path |t| {terr}"
+    assert rerr < 0.02, f"tripwire: gather path |R-I| {rerr}"
+
+    sres = localize_batch_streaming(lmap, q_desc[None], q_uv[None],
+                                    q_mask[None], intr, key,
+                                    k_hypotheses=512)
+    assert int(sres.n_inliers[0]) >= K // 2, \
+        f"tripwire: streaming inliers {int(sres.n_inliers[0])}"
+    assert float(jnp.linalg.norm(sres.t[0])) < 0.05, \
+        f"tripwire: streaming |t| {float(jnp.linalg.norm(sres.t[0]))}"
 
 
 def cpu_baseline_frames_per_s():
@@ -347,6 +409,12 @@ def cpu_baseline_frames_per_s():
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # correctness gate first: garbage poses must fail the bench, not pass it
+    accuracy_tripwire()
     # one retry: the remote-compile service is occasionally flaky
     try:
         value, compile_s = tpu_frames_per_s()

@@ -126,14 +126,35 @@ def compute_cam_window(pt_id_sorted: np.ndarray, cam_id: np.ndarray,
     """
     pt_id_sorted = np.asarray(pt_id_sorted)
     cam_id = np.asarray(cam_id)
+    O = pt_id_sorted.shape[0]
     pp = _round_up(max(n_pts, tile_p), tile_p)
     cp = _round_up(n_cams, 128)
-    tile_of = pt_id_sorted // tile_p
     n_tiles = pp // tile_p
     lo = np.full(n_tiles, n_cams, np.int64)
     hi = np.zeros(n_tiles, np.int64)
-    np.minimum.at(lo, tile_of, cam_id)
-    np.maximum.at(hi, tile_of, cam_id)
+    # only DENSE slots (slot < tp_cap) enter the window: overflow slots of
+    # long tracks are handled outside the kernel (lm.ba_solve ov_cap) and
+    # would otherwise blow the span up to the track's full camera range
+    if O:
+        seg_start = np.searchsorted(pt_id_sorted, pt_id_sorted)
+        slot_of = np.arange(O) - seg_start
+        keep = slot_of < tp_cap
+        np.minimum.at(lo, pt_id_sorted[keep] // tile_p, cam_id[keep])
+        np.maximum.at(hi, pt_id_sorted[keep] // tile_p, cam_id[keep])
+    # The window must ALSO cover ``build_dense_obs``'s pad-slot fill cameras
+    # (the nearest following obs's camera for observation-free points;
+    # points past n_pts reuse the last fill).  A fill outside the window
+    # gathers an all-zero camera row in the kernel (fm=0 -> NaN residual the
+    # zero weight cannot mask), and a fill BELOW a tile's real span drags
+    # ``bases`` down until real observations fall off the window's top.
+    if O:
+        start = np.searchsorted(pt_id_sorted, np.arange(max(n_pts, 1)))
+        fill = cam_id[np.clip(start, 0, O - 1)].astype(np.int64)
+        fill_full = np.concatenate(
+            [fill, np.full(pp - len(fill), fill[-1], np.int64)])
+        tile_pts = np.arange(pp) // tile_p
+        np.minimum.at(lo, tile_pts, fill_full)
+        np.maximum.at(hi, tile_pts, fill_full)
     seen = lo <= hi
     span = np.where(seen, hi - (lo // 128) * 128 + 1, 1)
     wc = int(_round_up(int(span.max(initial=1)), 128))

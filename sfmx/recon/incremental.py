@@ -318,12 +318,14 @@ def reconstruct(
         """Static bounds for the fused dense-layout BA (pow2-bucketed so a
         growing map re-jits O(log) times, not per call).
 
-        Long-track guard: the fused kernel unrolls the per-point slot loop
-        tp times, so a scene whose longest track spans hundreds of frames
-        (dense walkthroughs revisiting the same structure) would explode
-        the Mosaic compile AND pad every point column to that length.
-        Past tp=64 the planes path (unbounded track lengths, segment
-        reductions) is the right tool — fall back to it.
+        Long tracks: the fused kernel unrolls the per-point slot loop tp
+        times, so tp is capped at 64 — observations past slot 64 of a
+        track (dense walkthroughs revisiting the same structure) ride the
+        EXACT overflow path (lm.ba_solve ov_cap: narrow planes ops chained
+        into the kernel's bias).  tp is chosen as the smallest pow2 whose
+        overflow stays under 15% of the table, so the dense kernel always
+        carries the bulk of the work; only a mostly-long-track scene
+        (overflow majority even at tp=64) falls back to the planes path.
         """
         if cfg.dense_ba == "off" or (cfg.dense_ba == "auto" and (
                 jax.default_backend() != "tpu"
@@ -331,15 +333,24 @@ def reconstruct(
             return {}
         from ..kernels import segsum
 
-        tp = int(np.bincount(obs_pt, minlength=T).max())
-        if tp > 64 and cfg.dense_ba == "auto":
-            return {}
-        tp = 1 << max(3, (max(tp, 1) - 1).bit_length())
+        lens = np.bincount(obs_pt, minlength=T)
+        O = len(obs_pt)
+        tp = None
+        for cand in (8, 16, 32, 64):
+            if np.maximum(lens - cand, 0).sum() <= 0.15 * O:
+                tp = cand
+                break
+        if tp is None:
+            tp = 64
+            if np.maximum(lens - tp, 0).sum() > 0.5 * O:
+                return {}  # overflow-majority scene: planes path wins
+        ov = int(np.maximum(lens - tp, 0).sum())
+        ov_cap = 0 if ov == 0 else max(128, 1 << (ov - 1).bit_length())
         order = np.argsort(obs_pt, kind="stable")
         wc = segsum.compute_cam_window(obs_pt[order], obs_cam[order],
                                        T, C, tp)
         wc = 128 * (1 << max(0, (wc // 128 - 1).bit_length()))
-        return dict(tp_cap=tp, dense_cg=True, cam_window=wc)
+        return dict(tp_cap=tp, dense_cg=True, cam_window=wc, ov_cap=ov_cap)
 
     def run_ba(iters, ckpt_path=None):
         nonlocal cam_R, cam_t, X

@@ -145,7 +145,8 @@ def _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, delta):
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap",
-                                   "return_lam", "dense_cg", "cam_window"))
+                                   "return_lam", "dense_cg", "cam_window",
+                                   "ov_cap"))
 def ba_solve(
     intr: jax.Array,      # (I,7)
     k_idx: jax.Array,     # (C,) int32
@@ -167,8 +168,17 @@ def ba_solve(
     return_lam: bool = False,
     dense_cg: bool = False,
     cam_window: int | None = None,
+    ov_cap: int = 0,
 ):
     """Run `iters` LM iterations; returns (R, t, X, costs[iters+1]).
+
+    ov_cap (dense_cg only): static capacity for OVERFLOW observations —
+    per-point slots >= tp_cap of tracks longer than the dense layout.  With
+    ov_cap > 0, tp_cap no longer needs to bound the longest track: the
+    first tp_cap observations of each point ride the fused kernel and the
+    overflow rides exact narrow-side chaining (schur.SchurSystemD.ov_*).
+    MUST be >= sum over points of max(0, track_len - tp_cap) or overflow
+    observations are silently dropped.
 
     return_lam=True appends the final LM damping to the return tuple so a
     chunked/checkpointed caller can resume with the trust region intact.
@@ -199,10 +209,14 @@ def ba_solve(
     perm = jnp.argsort(pt_id)
     cam_id, pt_id, uv, w_valid = (
         cam_id[perm], pt_id[perm], uv[perm], w_valid[perm])
+    # pt_rows/cam_rows feed the planes path only; with dense_cg + ov_cap,
+    # tp_cap may deliberately undershoot the longest track, which would
+    # make build_rows drop observations — skip them on the dense path.
     pt_rows = (schur.build_rows(pt_id, n_pts, tp_cap, ids_sorted=True)
-               if tp_cap else None)
+               if tp_cap and not dense_cg else None)
     cam_rows = (schur.build_rows(cam_id, n_cams, tc_cap)
-                if tc_cap else None)
+                if tc_cap and not dense_cg else None)
+    ov = None
     if dense_cg:
         if not tp_cap:
             raise ValueError("dense_cg requires tp_cap (track-length bound)")
@@ -214,10 +228,43 @@ def ba_solve(
         uvw = segsum.pack_rows(
             dense, jnp.concatenate([uv, w_valid[:, None]], axis=1))
         _, fused_interp = schur._dense_flags(None, None)
+        if ov_cap:
+            # overflow sub-table: the obs build_dense_obs dropped (slot >=
+            # tp_cap); a static-size nonzero keeps this jit-safe, pads get
+            # weight 0 and clipped-valid ids
+            O = pt_id.shape[0]
+            start = jnp.searchsorted(pt_id,
+                                     jnp.arange(n_pts, dtype=pt_id.dtype))
+            slot = jnp.arange(O, dtype=jnp.int32) - start[pt_id].astype(
+                jnp.int32)
+            ovsel = jnp.nonzero(slot >= tp_cap, size=ov_cap,
+                                fill_value=O)[0]
+            ovm = (ovsel < O).astype(w_valid.dtype)
+            ovi = jnp.minimum(ovsel, O - 1)
+            ov = (cam_id[ovi], pt_id[ovi], uv[ovi], w_valid[ovi] * ovm)
     else:
         dense = None
 
-    cost0 = _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, huber_n)
+    if dense is not None:
+        # cost0 through the SAME fused kernel the trial costs use: comparing
+        # _eval_cost against ba_cost_fused (~1e-4 relative apart) can
+        # spuriously reject a genuinely improving first step near
+        # convergence (ADVICE r3).
+        from ..kernels import segsum
+
+        cam19_0 = segsum.build_cam_table(intr, k_idx, R, t)
+        pp0 = dense.camp.shape[1]
+        x8_0 = jnp.zeros((8, pp0), jnp.float32).at[:3, :n_pts].set(X.T)
+        cost0 = segsum.ba_cost_fused(
+            cam19_0, dense.camp, uvw, x8_0, huber_n, tp=dense.camp.shape[0],
+            nc=1, bases=dense.bases, cam_window=cam_window,
+            interpret=fused_interp)[0]
+        if ov is not None:
+            cost0 = cost0 + _eval_cost(intr, k_idx, R, t, X, ov[0], ov[1],
+                                       ov[2], ov[3], huber_n)
+    else:
+        cost0 = _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid,
+                           huber_n)
     state = BAState(R, t, X, jnp.asarray(init_lambda, X.dtype), cost0)
 
     def lm_iter(state: BAState, _):
@@ -230,34 +277,43 @@ def ba_solve(
         # throughput bound either way.  The alternatives are kept (parity
         # tested) because their relative cost is layout- and
         # bandwidth-dependent; re-race them on full-bandwidth hardware.
-        if pt_rows is not None:
-            if dense is not None:
-                # FUSED path: residuals + Jacobians + normal blocks + Schur
-                # reduction in one Pallas pass over the dense layout — no
-                # (O,k) lane-padded temporaries, no segment scatters, no
-                # per-iteration W re-pack (kernels/segsum.py).
-                sysd, _ = schur.reduce_system_fused(
-                    intr, k_idx, R, t, X, dense, uvw, state.lam, huber_n,
-                    cam_window=cam_window)
-                dx_c, _ = schur.pcg_dense(sysd, iters=cg_iters,
-                                          fixed_cam_mask=fixed_cam_mask,
-                                          cam_window=cam_window)
-                dx_p = schur.solve_points_dense(
-                    sysd, dx_c, cam_window=cam_window)[:n_pts]
-            else:
-                r, Jc, Jp = _jacobians_planes(intr, k_idx, R, t, X,
-                                              cam_id, pt_id, uv)
-                r2 = jnp.sum(r * r, axis=-1)
-                w = w_valid * huber_weight(r2, huber_n)
-                nbp = schur.assemble_planes(
-                    Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
-                    pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
-                sysp = schur.reduce_system_planes(nbp, state.lam,
-                                                  pt_sorted=True)
-                dx_c, _ = schur.pcg_planes(sysp, iters=cg_iters,
-                                           fixed_cam_mask=fixed_cam_mask,
-                                           pt_sorted=True)
-                dx_p = schur.solve_points_planes(sysp, dx_c, pt_sorted=True)
+        if dense is not None:
+            # FUSED path: residuals + Jacobians + normal blocks + Schur
+            # reduction in one Pallas pass over the dense layout — no
+            # (O,k) lane-padded temporaries, no segment scatters, no
+            # per-iteration W re-pack (kernels/segsum.py).
+            ov_blocks, ov_cost = None, None
+            if ov is not None:
+                r_o, Jc_o, Jp_o = _jacobians_planes(intr, k_idx, R, t, X,
+                                                    ov[0], ov[1], ov[2])
+                r2o = jnp.sum(r_o * r_o, axis=-1)
+                w_o = ov[3] * huber_weight(r2o, huber_n)
+                ov_blocks = schur.assemble_planes(
+                    Jc_o, Jp_o, r_o, w_o, ov[0], ov[1], n_cams, n_pts,
+                    pt_sorted=True)
+                ov_cost = robust_cost(r2o, ov[3], huber_n)
+            sysd, _ = schur.reduce_system_fused(
+                intr, k_idx, R, t, X, dense, uvw, state.lam, huber_n,
+                cam_window=cam_window, ov_blocks=ov_blocks, ov_cost=ov_cost)
+            dx_c, _ = schur.pcg_dense(sysd, iters=cg_iters,
+                                      fixed_cam_mask=fixed_cam_mask,
+                                      cam_window=cam_window)
+            dx_p = schur.solve_points_dense(
+                sysd, dx_c, cam_window=cam_window)[:n_pts]
+        elif pt_rows is not None:
+            r, Jc, Jp = _jacobians_planes(intr, k_idx, R, t, X,
+                                          cam_id, pt_id, uv)
+            r2 = jnp.sum(r * r, axis=-1)
+            w = w_valid * huber_weight(r2, huber_n)
+            nbp = schur.assemble_planes(
+                Jc, Jp, r, w, cam_id, pt_id, n_cams, n_pts,
+                pt_sorted=True, pt_rows=pt_rows, cam_rows=cam_rows)
+            sysp = schur.reduce_system_planes(nbp, state.lam,
+                                              pt_sorted=True)
+            dx_c, _ = schur.pcg_planes(sysp, iters=cg_iters,
+                                       fixed_cam_mask=fixed_cam_mask,
+                                       pt_sorted=True)
+            dx_p = schur.solve_points_planes(sysp, dx_c, pt_sorted=True)
         else:
             r, Jc, Jp = _jacobians(intr, k_idx, R, t, X, cam_id, pt_id, uv)
             r2 = jnp.sum(r * r, axis=-1)
@@ -295,6 +351,14 @@ def ba_solve(
                 cam19s, dense.camp, uvw, x8s, huber_n,
                 tp=dense.camp.shape[0], nc=4, bases=dense.bases,
                 cam_window=cam_window, interpret=fused_interp)
+            if ov is not None:
+                def ov_trial(alpha):
+                    R2, t2 = se3.perturb_b(R, t, alpha * dx_c)
+                    return _eval_cost(intr, k_idx, R2, t2,
+                                      X + alpha * dx_p, ov[0], ov[1],
+                                      ov[2], ov[3], huber_n)
+
+                trial_costs = trial_costs + jax.vmap(ov_trial)(alphas)
         else:
             def trial(alpha):
                 R2, t2 = se3.perturb_b(R, t, alpha * dx_c)

@@ -722,7 +722,16 @@ def pcg_planes(sys: SchurSystemP, iters: int = 30, fixed_cam_mask=None,
 
 
 class SchurSystemD(NamedTuple):
-    """Reduced system in the dense point-major layout (kernel-ready)."""
+    """Reduced system in the dense point-major layout (kernel-ready).
+
+    ov_*: OVERFLOW observations — slots >= tp of long tracks that did not
+    fit the dense layout.  They ride the narrow planes ops (few, so the
+    1-13 GB/s gather/scatter cost is negligible) and are chained EXACTLY
+    into the kernel: their W^T x enters through the kernel's point-side
+    bias, and their W vy scatter adds to the kernel's camera output.  The
+    per-point V blocks in vinv16 are the damped inverses of the COMBINED
+    (dense + overflow) V, so the hybrid solve equals the unsplit solve.
+    """
 
     Wp: jax.Array        # (tp*18, Pp) point-major W blocks
     camp: jax.Array      # (tp, Pp) camera of each slot
@@ -731,6 +740,9 @@ class SchurSystemD(NamedTuple):
     Ud: jax.Array        # (C,6,6)
     b_red: jax.Array     # (C,6)
     bases: jax.Array     # (Pp//tile_p,) per-tile camera-window bases
+    ov_W18: jax.Array | None = None   # (Ov,18) overflow W blocks (pad: 0)
+    ov_cam: jax.Array | None = None   # (Ov,) camera ids (pad: clipped valid)
+    ov_pt: jax.Array | None = None    # (Ov,) point ids, ascending
 
     @property
     def n_cams(self) -> int:
@@ -749,13 +761,34 @@ def _cross(sysd: SchurSystemD, x8, bias3, tile_p, use_kernel, interpret,
            cam_window=None):
     from ..kernels import segsum
 
+    pp = sysd.camp.shape[1]
+    if sysd.ov_W18 is not None:
+        # overflow phase 1: y_ov = W_ov^T x[cam_ov], chained into the
+        # kernel's point-side bias (exact: the kernel applies the combined
+        # V^{-1} to dense + overflow y)
+        xg = x8[:6].T[sysd.ov_cam]                        # (Ov,6)
+        y_ov = _W_t_x(sysd.ov_W18, xg)                    # (Ov,3)
+        yp = jax.ops.segment_sum(y_ov, sysd.ov_pt, num_segments=pp,
+                                 indices_are_sorted=True)  # (Pp,3)
+        if bias3 is None:
+            bias3 = jnp.zeros((8, pp), jnp.float32)
+        bias3 = bias3.at[:3].add(yp.T)
     if use_kernel:
-        return segsum.schur_cross_matvec(
+        z8, vy8 = segsum.schur_cross_matvec(
             sysd.Wp, sysd.camp, sysd.vinv16, x8, bias3,
             tp=sysd.camp.shape[0], tile_p=tile_p, bases=sysd.bases,
             cam_window=cam_window, interpret=interpret)
-    return segsum.schur_cross_matvec_ref(sysd.Wp, sysd.camp, sysd.vinv16,
-                                         x8, bias3)
+    else:
+        z8, vy8 = segsum.schur_cross_matvec_ref(
+            sysd.Wp, sysd.camp, sysd.vinv16, x8, bias3)
+    if sysd.ov_W18 is not None:
+        # overflow phase 2: z[cam_ov] += W_ov vy[pt_ov]
+        vy_ov = vy8[:3].T[sysd.ov_pt]                     # (Ov,3)
+        z_ov = _W_x(sysd.ov_W18, vy_ov)                   # (Ov,6)
+        zc = jax.ops.segment_sum(z_ov, sysd.ov_cam,
+                                 num_segments=x8.shape[1])
+        z8 = z8.at[:6].add(zc.T)
+    return z8, vy8
 
 
 def _pad_x8(x, cp):
@@ -820,13 +853,21 @@ def _damp_inv3_rows(V9r: jax.Array, lam, eps: float = 1e-8) -> jax.Array:
 def reduce_system_fused(intr, k_idx, R, t, X, dense, uvw, lam, delta, *,
                         tile_p: int = 512, use_kernel: bool | None = None,
                         interpret: bool | None = None,
-                        cam_window: int | None = None):
+                        cam_window: int | None = None,
+                        ov_blocks: NormalBlocksP | None = None,
+                        ov_cost=None):
     """One fused-kernel pass: residuals + Jacobians + normal blocks +
     Schur reduction, all in the dense layout (kernels/segsum.ba_assemble_
     fused).  Returns (SchurSystemD, cost) — cost is the robust cost at the
     current parameters, a free by-product of the assembly.
 
     ``uvw`` is the once-per-solve packed (tp*3, Pp) [u, v, w_valid] table.
+
+    ov_blocks/ov_cost: planes-assembled normal blocks (and robust cost) of
+    the OVERFLOW observations — slots >= tp of tracks longer than the dense
+    layout.  Their U/b_c/V/b_p fold into the fused system's blocks and
+    their W blocks ride SchurSystemD.ov_* through every matvec, so the
+    hybrid solve is exactly the unsplit solve.
     """
     from ..kernels import segsum
 
@@ -844,13 +885,24 @@ def reduce_system_fused(intr, k_idx, R, t, X, dense, uvw, lam, delta, *,
     U = ub[:36, :C].T.reshape(C, 6, 6)
     b_c = ub[36:42, :C].T
     cost = jnp.sum(v16[12])
+    v9r = v16[:9]
+    bpr = v16[9:12]
+    ov = (None, None, None)
+    if ov_blocks is not None:
+        U = U + ov_blocks.U
+        b_c = b_c + ov_blocks.b_c
+        cost = cost + ov_cost
+        v9r = v9r.at[:, :P].add(ov_blocks.V9.T)
+        bpr = bpr.at[:, :P].add(ov_blocks.b_p.T)
+        ov = (ov_blocks.W18, ov_blocks.cam_id, ov_blocks.pt_id)
     vinv16 = jnp.zeros((16, pp), jnp.float32).at[:9].set(
-        _damp_inv3_rows(v16[:9], lam))
-    bp8 = jnp.zeros((8, pp), jnp.float32).at[:3].set(v16[9:12])
+        _damp_inv3_rows(v9r, lam))
+    bp8 = jnp.zeros((8, pp), jnp.float32).at[:3].set(bpr)
     Ud = _damp(U, lam)
     sysd = SchurSystemD(Wp, dense.camp, vinv16, bp8, Ud,
                         b_red=jnp.zeros((C, 6), jnp.float32),
-                        bases=dense.bases)
+                        bases=dense.bases,
+                        ov_W18=ov[0], ov_cam=ov[1], ov_pt=ov[2])
     z8, _ = _cross(sysd, jnp.zeros((8, cp), jnp.float32), bp8,
                    tile_p, use_kernel, interpret, cam_window)
     return sysd._replace(b_red=b_c - z8[:6, :C].T), cost

@@ -314,3 +314,44 @@ def test_ba_solve_dense_cg_parity():
     assert float(costs_b[-1]) < float(costs_b[0]) * 0.1
     np.testing.assert_allclose(float(costs_b[-1]), float(costs_a[-1]),
                                rtol=0.02)
+
+
+def test_ba_solve_dense_overflow_parity():
+    """Long-track hybrid: tp_cap DELIBERATELY below the longest track with
+    the overflow riding ov_cap must converge to the same optimum as the
+    planes path over the full table (VERDICT r3 item 5: no more tp>64
+    fallback — the dense path must survive dense-walkthrough tracks)."""
+    sc = make_scene(n_cams=8, n_points=120, noise_px=0.3)
+    cam_id, pt_id, uv, w = build_obs_table(sc)
+    lens = np.bincount(np.asarray(pt_id), minlength=120)
+    tp_small = 4
+    assert lens.max() > tp_small  # the scene really has longer tracks
+    ov = int(np.maximum(lens - tp_small, 0).sum())
+    ov_cap = 1 << (ov - 1).bit_length()
+    intr = jnp.asarray(sc.intrinsics, jnp.float32)[None]
+    k_idx = jnp.zeros(8, jnp.int32)
+    fixed = jnp.zeros(8, bool).at[0].set(True)
+    rng = np.random.default_rng(2)
+    R0 = jnp.asarray(sc.Rs, jnp.float32)
+    t0 = jnp.asarray(sc.ts + 0.03 * rng.standard_normal((8, 3)), jnp.float32)
+    X0 = jnp.asarray(sc.points + 0.03 * rng.standard_normal((120, 3)),
+                     jnp.float32)
+    args = (intr, k_idx, R0, t0, X0, cam_id, pt_id, jnp.asarray(uv),
+            jnp.asarray(w), fixed)
+    Ra, ta, Xa, costs_a = lm.ba_solve(*args, iters=8, cg_iters=25, tp_cap=16)
+    Rb, tb, Xb, costs_b = lm.ba_solve(*args, iters=8, cg_iters=25,
+                                      tp_cap=tp_small, dense_cg=True,
+                                      ov_cap=ov_cap)
+    assert float(costs_b[-1]) < float(costs_b[0]) * 0.1
+    np.testing.assert_allclose(float(costs_b[-1]), float(costs_a[-1]),
+                               rtol=0.02)
+    # with a camera window too (the production configuration)
+    order = np.argsort(np.asarray(pt_id), kind="stable")
+    wc = segsum.compute_cam_window(np.asarray(pt_id)[order],
+                                   np.asarray(cam_id)[order], 120, 8,
+                                   tp_small)
+    Rc, tc, Xc, costs_c = lm.ba_solve(*args, iters=8, cg_iters=25,
+                                      tp_cap=tp_small, dense_cg=True,
+                                      ov_cap=ov_cap, cam_window=wc)
+    np.testing.assert_allclose(float(costs_c[-1]), float(costs_a[-1]),
+                               rtol=0.02)
