@@ -24,6 +24,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
+# share the repo's persistent compile cache with bench.py (the CLI reads
+# SFMX_JAX_CACHE; without it every harness run pays multi-minute cold
+# compiles — BASELINE.md round 4)
+os.environ.setdefault("SFMX_JAX_CACHE", "/root/repo/.jax_cache")
+
 import numpy as np
 
 p = argparse.ArgumentParser()
@@ -38,6 +45,10 @@ import jax
 
 if args.platform:
     jax.config.update("jax_platforms", args.platform)
+if os.environ["SFMX_JAX_CACHE"].lower() != "off":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["SFMX_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp
 

@@ -71,7 +71,10 @@ def sampson_error(F: jax.Array, x1: jax.Array, x2: jax.Array) -> jax.Array:
     Ftp2 = p2 @ F  # (N,3) = F^T @ p2
     num = jnp.sum(p2 * Fp1, axis=1) ** 2
     den = Fp1[:, 0] ** 2 + Fp1[:, 1] ** 2 + Ftp2[:, 0] ** 2 + Ftp2[:, 1] ** 2
-    return num / jnp.maximum(den, 1e-12)
+    # a vanishing denominator means the point sits at the epipole or F is
+    # degenerate (e.g. an all-zero solve) — that must REJECT, not accept:
+    # num/max(den,eps) would return 0 for F=0 and admit every match
+    return jnp.where(den > 1e-18, num / jnp.maximum(den, 1e-18), jnp.inf)
 
 
 _W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
@@ -111,3 +114,132 @@ def relative_pose_from_essential(E: jax.Array, xn1: jax.Array, xn2: jax.Array, m
     counts, Xs = jax.vmap(score)(Rs, ts)
     best = jnp.argmax(counts)
     return Rs[best], ts[best], counts[best], Xs[best]
+
+
+# ---------------------------------------------------------------------------
+# Batched SVD-free 8-point: the geometric-verification hot path
+# ---------------------------------------------------------------------------
+# `eight_point` above runs TWO jnp.linalg.svd per call; vmapped over
+# (pairs x hypotheses) that is ~10^5 small SVDs per build chunk, which XLA
+# lowers to slow iterative device loops (~150 pairs/s measured at 512
+# frames, 222 s of the 721 s wall — VERDICT r3 item 2).  RANSAC hypothesis
+# generation doesn't need SVD accuracy: here the null vector of the 8-point
+# system comes from an unrolled 9x9 Cholesky + inverse iteration on the
+# normal matrix A^T A, every step a component-wise op over the batch lane
+# axis — no linalg primitive anywhere, so the whole (Np*H)-hypothesis batch
+# compiles to a handful of fused VPU kernels.  The squared conditioning
+# costs ~3 f32 digits vs direct SVD, which is irrelevant for hypothesis
+# SCORING; winners are re-fit with the weighted variant and (for E) get the
+# (s,s,0) structure enforced once per pair.
+
+
+def _chol9_solve(M, b, eps_rel: float = 1e-7):
+    """Solve (M + eps*I) x = b for a batch of symmetric 9x9 systems.
+
+    M: 9x9 nested list of (B,) components (symmetric; lower triangle read).
+    b: list of 9 (B,) components.  Returns list of 9 (B,) components.
+    Unrolled Cholesky — 45 lane-wide rsqrt/fma chains, no linalg calls.
+    """
+    tr = sum(M[i][i] for i in range(9))
+    eps = eps_rel * tr / 9.0 + 1e-20
+    L = [[None] * 9 for _ in range(9)]
+    for j in range(9):
+        d = M[j][j] + eps - sum(L[j][k] * L[j][k] for k in range(j))
+        inv = jax.lax.rsqrt(jnp.maximum(d, 1e-30))
+        L[j][j] = 1.0 / inv
+        for i in range(j + 1, 9):
+            off = M[i][j] - sum(L[i][k] * L[j][k] for k in range(j))
+            L[i][j] = off * inv
+    y = [None] * 9
+    for i in range(9):
+        y[i] = (b[i] - sum(L[i][k] * y[k] for k in range(i))) / L[i][i]
+    x = [None] * 9
+    for i in reversed(range(9)):
+        x[i] = (y[i] - sum(L[k][i] * x[k] for k in range(i + 1, 9))) / L[i][i]
+    return x
+
+
+def eight_point_batch(x1: jax.Array, x2: jax.Array, w: jax.Array,
+                      n_iter: int = 2) -> jax.Array:
+    """Weighted 8-point over a batch: (B,N,2),(B,N,2),(B,N) -> F (B,3,3).
+
+    Component-wise Hartley normalization, normal matrix M = A^T W A, and
+    ``n_iter`` damped inverse-iteration steps (each one `_chol9_solve`)
+    recover the null direction.  ||F||_F = 1.  Works for minimal samples
+    (N=8, w=1) and weighted least-squares refits alike; rank-2 / essential
+    structure is NOT enforced (callers enforce on winners only).
+    """
+    w = w.astype(x1.dtype)
+    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)                       # (B,)
+
+    def norm(x):
+        mu = jnp.sum(x * w[..., None], axis=1) / n[:, None]        # (B,2)
+        xc = (x - mu[:, None, :]) * w[..., None]
+        rms = jnp.sqrt(jnp.sum(xc * xc, axis=(1, 2)) / n)
+        # rms floor 1e-4 (not 1e-12): a (near-)coincident degenerate sample
+        # would otherwise scale coords by ~1e12, overflow M to inf in f32
+        # and collapse the solve to F=0
+        s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-4)                 # (B,)
+        return (x - mu[:, None, :]) * s[:, None, None], mu, s
+
+    x1n, mu1, s1 = norm(x1)
+    x2n, mu2, s2 = norm(x2)
+    u1, v1 = x1n[..., 0], x1n[..., 1]                              # (B,N)
+    u2, v2 = x2n[..., 0], x2n[..., 1]
+    one = jnp.ones_like(u1)
+    a = [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one]
+    M = [[None] * 9 for _ in range(9)]
+    for i in range(9):
+        for j in range(i + 1):
+            M[i][j] = M[j][i] = jnp.sum(w * a[i] * a[j], axis=1)   # (B,)
+    B = u1.shape[0]
+    v = [jnp.full((B,), 1.0 / 3.0, x1.dtype) for _ in range(9)]
+    for _ in range(n_iter):
+        v = _chol9_solve(M, v)
+        nv = jax.lax.rsqrt(sum(c * c for c in v) + 1e-30)
+        v = [c * nv for c in v]
+    # denormalize F = T2^T Fn T1 (T similarity transforms), component-wise
+    f = [v[3 * r + c] for r in range(3) for c in range(3)]
+    g = [s2 * f[0], s2 * f[1], s2 * f[2],
+         s2 * f[3], s2 * f[4], s2 * f[5], None, None, None]
+    m2x, m2y = mu2[:, 0] * s2, mu2[:, 1] * s2
+    g[6] = -m2x * f[0] - m2y * f[3] + f[6]
+    g[7] = -m2x * f[1] - m2y * f[4] + f[7]
+    g[8] = -m2x * f[2] - m2y * f[5] + f[8]
+    m1x, m1y = mu1[:, 0] * s1, mu1[:, 1] * s1
+    F = [None] * 9
+    for r in range(3):
+        F[3 * r + 0] = s1 * g[3 * r + 0]
+        F[3 * r + 1] = s1 * g[3 * r + 1]
+        F[3 * r + 2] = (-m1x * g[3 * r + 0] - m1y * g[3 * r + 1]
+                        + g[3 * r + 2])
+    nf = jax.lax.rsqrt(sum(c * c for c in F) + 1e-30)
+    Fm = jnp.stack([c * nf for c in F], axis=-1).reshape(B, 3, 3)
+    return Fm
+
+
+def enforce_essential_batch(F: jax.Array) -> jax.Array:
+    """(B,3,3) -> nearest essential matrices ((s,s,0) singular structure)."""
+    def one(Fi):
+        U, D, Vt = jnp.linalg.svd(Fi)
+        s = 0.5 * (D[0] + D[1])
+        E = U @ jnp.diag(jnp.stack([s, s, jnp.zeros_like(s)])) @ Vt
+        return E / jnp.maximum(jnp.linalg.norm(E), 1e-12)
+
+    return jax.vmap(one)(F)
+
+
+def sampson_error_batch(F: jax.Array, x1: jax.Array, x2: jax.Array):
+    """Sampson distance, batched over hypotheses: F (...,3,3), x1/x2
+    (B,N,2) broadcast against leading F dims -> (...,N)."""
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    Fp1 = jnp.einsum("...ij,...nj->...ni", F, p1)
+    Ftp2 = jnp.einsum("...ji,...nj->...ni", F, p2)
+    num = jnp.sum(p2 * Fp1, axis=-1) ** 2
+    den = (Fp1[..., 0] ** 2 + Fp1[..., 1] ** 2
+           + Ftp2[..., 0] ** 2 + Ftp2[..., 1] ** 2)
+    # degenerate denominator (epipole hit / zero F) REJECTS — see
+    # sampson_error
+    return jnp.where(den > 1e-18, num / jnp.maximum(den, 1e-18), jnp.inf)

@@ -185,3 +185,46 @@ def test_native_tracks_parity(rng):
     cov_c = native_mod.covisibility_counts(tt_c, 5)
     from sfmx.recon.tracks import covisibility_counts as cov_py
     np.testing.assert_array_equal(cov_c, cov_py(tt_py, 5))
+
+
+def test_geometric_verify_multi_pair_and_degenerate(rng):
+    """Batched E-RANSAC over several pairs at once (the production shape):
+    true matches survive per pair, a fully-corrupted pair scores ~nothing,
+    and a pair with <8 valid matches cannot fabricate a winning model."""
+    from sfmx.core import cameras
+
+    sc = make_scene(n_cams=5, n_points=200)
+    uv, desc, mask, feat_pt = scene_features(sc, rng)
+    intr = jnp.asarray(sc.intrinsics, jnp.float32)
+    xn = jax.vmap(lambda u: cameras.pixel_to_normalized(intr, u))(
+        jnp.asarray(uv))
+    pairs = np.array([(a, b) for a in range(5) for b in range(a + 1, 5)],
+                     np.int32)
+    res = matching.match_pairs_float(jnp.asarray(desc), jnp.asarray(mask),
+                                     jnp.asarray(pairs))
+    idx = np.asarray(res.idx).copy()
+    valid = np.asarray(res.valid).copy()
+    # pair 3: every match re-pointed at a random target (pure outliers)
+    nb1 = int(mask[pairs[3, 1]].sum())
+    idx[3] = rng.integers(0, nb1, size=idx.shape[1])
+    # pair 7: only 5 valid matches — below the 8-point minimal sample
+    keep = np.where(valid[7])[0][:5]
+    valid[7] = False
+    valid[7, keep] = True
+    res2 = matching.MatchResult(jnp.asarray(idx), jnp.asarray(valid),
+                                res.score)
+    inl, cnt = matching.geometric_verify_pairs(
+        jax.random.PRNGKey(1), xn, jnp.asarray(mask), jnp.asarray(pairs),
+        res2, threshold=(2.0 / 520.0) ** 2)
+    inl = np.asarray(inl)
+    cnt = np.asarray(cnt)
+    for p in (0, 1, 2, 4, 5, 6, 8, 9):
+        a, b = pairs[p]
+        good = feat_pt[a][inl[p]] == feat_pt[b][idx[p][inl[p]]]
+        assert cnt[p] > 30, (p, cnt[p])
+        assert good.mean() > 0.95, (p, good.mean())
+    # corrupted pair: only chance consensus survives (each 8-point sample
+    # fits its own 8 points exactly, and best-of-256 selection inflates the
+    # tail) — far below the real pairs' counts either way
+    assert cnt[3] < 32, cnt[3]
+    assert cnt[7] <= 5                  # degenerate pair: bounded by valid
