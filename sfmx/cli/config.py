@@ -19,6 +19,8 @@ class FeatureConfig:
     threshold: float = 1e-7   # det-Hessian threshold; SIFT uses |DoG| (~0.015)
     sigma_levels: tuple = (2, 3, 4, 5, 6)
     oriented: bool = False    # upright default (gravity-aligned indoor rigs)
+    n_octaves: int = 1        # 2x-downsampled octaves; >1 widens the scale
+    #                           band (reference AKAZE spans 4 octaves)
 
 
 @dataclasses.dataclass(frozen=True)

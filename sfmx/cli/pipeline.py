@@ -167,6 +167,8 @@ def _extract_raw(images: np.ndarray, cfg: PipelineConfig):
         jnp.asarray(images, jnp.float32), sscfg,
         max_keypoints=cfg.features.max_keypoints,
         threshold=cfg.features.threshold,
+        oriented=cfg.features.oriented,
+        n_octaves=cfg.features.n_octaves,
     )
 
 

@@ -532,18 +532,10 @@ class Features(NamedTuple):
     desc_bits: jax.Array  # (B,K,N_WORDS) uint32
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_keypoints", "threshold", "oriented"))
-def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceConfig(), *,
-                        max_keypoints: int = 512, threshold: float = 1e-5,
-                        oriented: bool = False) -> Features:
-    """Full extraction: (B,H,W) f32 in [0,1] -> Features with static K capacity.
-
-    oriented=False (default): upright descriptors via the Pallas window-DMA +
-    MXU-resample kernel on TPU (pure-jnp oracle elsewhere) — the right mode
-    for gravity-aligned indoor rigs, and gather-free.
-    oriented=True: rotation-invariant gather path (dominant-orientation +
-    rotated patch sampling).
-    """
+def _extract_octave(images: jax.Array, cfg: ScaleSpaceConfig,
+                    max_keypoints: int, threshold: float,
+                    oriented: bool) -> Features:
+    """Single-octave extraction (the round-1/3 pipeline, unchanged)."""
     if jax.default_backend() == "tpu":
         from . import pallas_scale_space as pss
 
@@ -566,3 +558,88 @@ def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceCon
         desc_float = pd.finalize_float(raw, kp.mask)
         desc_bits = pd.finalize_bits(raw, kp.mask)
     return Features(kp=kp, desc=desc_float, desc_bits=desc_bits)
+
+
+def _downsample2(images: jax.Array) -> jax.Array:
+    """(B,H,W) -> (B,H//2,W//2) 2x2 average pool (odd tails dropped)."""
+    B, H, W = images.shape
+    h, w = (H // 2) * 2, (W // 2) * 2
+    x = images[:, :h, :w].reshape(B, h // 2, 2, w // 2, 2)
+    return jnp.mean(x, axis=(2, 4))
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_keypoints", "threshold",
+                                   "oriented", "n_octaves"))
+def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceConfig(), *,
+                        max_keypoints: int = 512, threshold: float = 1e-5,
+                        oriented: bool = False,
+                        n_octaves: int = 1) -> Features:
+    """Full extraction: (B,H,W) f32 in [0,1] -> Features with static K capacity.
+
+    oriented=False (default): upright descriptors via the Pallas window-DMA +
+    MXU-resample kernel on TPU (pure-jnp oracle elsewhere) — the right mode
+    for gravity-aligned indoor rigs, and gather-free.
+    oriented=True: rotation-invariant gather path (dominant-orientation +
+    rotated patch sampling).
+
+    n_octaves > 1 adds 2x-downsampled octaves (the reference's AKAZE spans
+    4 octaves; one octave of sigma 2-6 only covers a 3x scale band, so
+    queries at a substantially different distance than the mapping walk
+    miss).  Each octave is its own static-shape program over the SAME
+    single-scan FED machinery; keypoint budget halves per octave, merged
+    candidates fight one global top-K with cross-octave radius
+    suppression.  kp.sigma/uv are full-resolution units; kp.level encodes
+    octave * n_levels + level.
+    """
+    if n_octaves <= 1:
+        return _extract_octave(images, cfg, max_keypoints, threshold,
+                               oriented)
+    parts = []
+    img_o = images
+    for o in range(n_octaves):
+        if o:
+            img_o = _downsample2(img_o)
+        k_o = max(64, max_keypoints >> o)
+        f = _extract_octave(img_o, cfg, k_o, threshold, oriented)
+        s = float(1 << o)
+        kp = f.kp._replace(
+            # avg-pool cell i covers full-res [s*i, s*i+s): center s*i+(s-1)/2
+            uv=f.kp.uv * s + (s - 1.0) / 2.0,
+            sigma=f.kp.sigma * s,
+            level=f.kp.level + o * cfg.n_levels,
+        )
+        parts.append(Features(kp=kp, desc=f.desc, desc_bits=f.desc_bits))
+    cat = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+    # cross-octave duplicate suppression: the SAME blob (similar effective
+    # sigma, e.g. octave-0 level sigma 6 vs octave-1 level sigma 3*2) fires
+    # in adjacent octaves one pixel apart; kill the weaker.  Distinct-scale
+    # features at the same location are different features (different
+    # support) and both stay — only near-equal sigmas are duplicates.
+    uv, resp0, mask = cat.kp.uv, cat.kp.response, cat.kp.mask
+    B, Kt = resp0.shape
+    d2 = jnp.sum((uv[:, :, None, :] - uv[:, None, :, :]) ** 2, axis=-1)
+    sig_i = cat.kp.sigma[:, :, None]
+    sig_j = cat.kp.sigma[:, None, :]
+    same_scale = (jnp.maximum(sig_i, sig_j)
+                  < 1.6 * jnp.minimum(sig_i, sig_j))
+    rad = 1.5 * jnp.minimum(sig_i, sig_j)
+    order = jnp.arange(Kt)
+    stronger = (resp0[:, None, :] > resp0[:, :, None]) | (
+        (resp0[:, None, :] == resp0[:, :, None])
+        & (order[None, None, :] < order[None, :, None]))
+    dup = jnp.any(stronger & same_scale & (d2 < rad * rad)
+                  & mask[:, None, :], axis=-1)
+    mask = mask & ~dup
+    score = jnp.where(mask, resp0, -jnp.inf)
+    _, sel = jax.lax.top_k(score, max_keypoints)            # (B,K)
+
+    def take(x):
+        return jnp.take_along_axis(
+            x, sel.reshape(B, max_keypoints, *([1] * (x.ndim - 2))), axis=1)
+
+    kp = Keypoints(uv=take(uv), level=take(cat.kp.level),
+                   sigma=take(cat.kp.sigma), angle=take(cat.kp.angle),
+                   response=take(resp0),
+                   mask=take(mask.astype(jnp.int32)).astype(bool))
+    return Features(kp=kp, desc=take(cat.desc), desc_bits=take(cat.desc_bits))

@@ -78,3 +78,27 @@ vlad_encode_b = jax.vmap(vlad_encode, in_axes=(0, 0, None))
 def retrieval_scores(kf_vlad: jax.Array, q_vlad: jax.Array) -> jax.Array:
     """(C,VD) x (VD,) -> (C,) cosine scores (one GEMV/MXU pass)."""
     return kf_vlad @ q_vlad
+
+
+def recall_at_k(kf_gdesc: jax.Array, kf_centers: jax.Array,
+                kf_alive: jax.Array, q_gdesc: jax.Array,
+                q_centers: jax.Array, k: int = 8) -> float:
+    """Retrieval quality metric (SURVEY C8): fraction of queries whose
+    TRUE nearest keyframe (by camera-center distance — the retrieval's
+    whole job is to surface spatially co-located keyframes) appears in the
+    top-k retrieval scores.  Host-side diagnostic; exported by `evaluate`
+    and the config harnesses so retrieval capacity regressions are
+    measured, not guessed (VERDICT r3 item 7).
+    """
+    kf_g = np.asarray(kf_gdesc)
+    alive = np.asarray(kf_alive)
+    scores = np.asarray(q_gdesc) @ kf_g.T                # (Q,C)
+    scores[:, ~alive] = -np.inf
+    d2 = np.sum((np.asarray(q_centers)[:, None]
+                 - np.asarray(kf_centers)[None]) ** 2, -1)
+    d2[:, ~alive] = np.inf
+    true_nn = np.argmin(d2, axis=1)                      # (Q,)
+    kk = min(k, int(alive.sum()))
+    topk = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    hit = (topk == true_nn[:, None]).any(axis=1)
+    return float(hit.mean())
