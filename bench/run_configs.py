@@ -125,12 +125,49 @@ def config2_scale(frames: int):
 
     scene = load_scene(str(tmp / "map"))
     ref = np.stack([eye for (_, _, eye) in poses]).astype(np.float32)
-    rmse, _ = umeyama.ate_rmse(scene.centers, jnp.asarray(ref), scene.cam_alive)
+    rmse, (s_al, R_al, t_al) = umeyama.ate_rmse(scene.centers,
+                                                jnp.asarray(ref),
+                                                scene.cam_alive)
     n_reg = int(np.asarray(scene.cam_alive).sum())
     ok = n_reg >= int(0.95 * frames) and float(rmse) < 0.1
+
+    # retrieval quality at this map scale (VERDICT r3 item 7): held-out
+    # views (perturbed map poses) must retrieve their true nearest keyframe
+    recall8 = None
+    try:
+        from examples.room import look_at
+        from sfmx.cli.config import FeatureConfig, PipelineConfig
+        from sfmx.cli.pipeline import extract_features
+        from sfmx.localize import retrieve
+        from sfmx.mapstore import load_localization_map
+
+        lmap = load_localization_map(str(tmp / "map") + ".lmap")
+        rngq = np.random.default_rng(11)
+        q_ids = np.linspace(2, frames - 3, 16).astype(int)
+        q_imgs, q_eyes = [], []
+        for qi in q_ids:
+            Rq, tq, eye = poses[qi]
+            eye2 = eye + rngq.uniform(-0.05, 0.05, 3)
+            fwd = Rq[2]
+            Rq2, _ = look_at(eye2, eye2 + 5.0 * fwd)
+            q_imgs.append(render_room(tex, Rq2, eye2, 320, 240, 280.0))
+            q_eyes.append(eye2)
+        qcfg = PipelineConfig(features=FeatureConfig(max_keypoints=512),
+                              resize_to=(320, 240), focal_factor=0.875)
+        qf = extract_features(np.stack(q_imgs), qcfg)
+        qg = np.asarray(retrieve.vlad_encode_b(qf.desc, qf.kp.mask,
+                                               lmap.vocab))
+        kfc_world = np.asarray(umeyama.apply_sim3(s_al, R_al, t_al,
+                                                  lmap.kf_centers))
+        recall8 = round(retrieve.recall_at_k(
+            lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg,
+            np.stack(q_eyes).astype(np.float32), k=8), 3)
+    except Exception as e:  # keep the scale report even if recall fails
+        recall8 = f"error: {e}"
+
     return {"config": "2+", "n_frames": frames, "n_registered": n_reg,
             "ate_m": round(float(rmse), 4), "wall_s": round(wall, 1),
-            "stage_s": stage_s, "pass": bool(ok),
+            "stage_s": stage_s, "recall_at_8": recall8, "pass": bool(ok),
             "map_path": str(tmp / "map")}
 
 
