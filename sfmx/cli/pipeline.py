@@ -115,12 +115,16 @@ def verify_matches(feats, pairs: np.ndarray, res, intrinsics, cam_k,
     f_mean = float(np.mean(intr[:, :2]))
     thr = (cfg.match.gv_px_thresh / f_mean) ** 2
 
+    # xn/kp_mask ride as ARGUMENTS, not closure captures: a captured jnp
+    # array embeds as an HLO constant — megabytes of constants at
+    # thousand-frame scale, ballooning every cold compile
     @jax.jit
-    def verify(key, p, m):
+    def verify(key, xn_a, kmask_a, p, m):
         return matching.geometric_verify_pairs(
-            key, xn, feats.kp.mask, p, m,
+            key, xn_a, kmask_a, p, m,
             threshold=thr, k_hypotheses=cfg.match.gv_hypotheses)
 
+    kp_mask = feats.kp.mask
     idx = np.asarray(res.idx)
     valid = np.asarray(res.valid)
     n_pairs = len(pairs)
@@ -134,7 +138,7 @@ def verify_matches(feats, pairs: np.ndarray, res, intrinsics, cam_k,
             valid=jnp.asarray(np.pad(valid[s:e], ((0, pad), (0, 0)))),
             score=None,
         )
-        inl, cnt = verify(jax.random.PRNGKey(seed + s), p, m)
+        inl, cnt = verify(jax.random.PRNGKey(seed + s), xn, kp_mask, p, m)
         inl_parts.append(np.asarray(inl)[:e - s])
         cnt_parts.append(np.asarray(cnt)[:e - s])
     inliers = np.concatenate(inl_parts)
@@ -213,6 +217,14 @@ def extract_features_streaming(paths, cfg: PipelineConfig, *,
             outs.append(_extract_raw(imgs, cfg))
             sizes.append(orig)
             total += b
+        # pow2-bucket the chunk COUNT before concatenating: the N-ary device
+        # concat is its own XLA program per N, so every distinct dataset
+        # size would otherwise pay a fresh multi-minute cold compile on this
+        # backend (the dominant wall cost of the first 2048-frame build)
+        n_pad = (1 << max(0, (len(outs) - 1).bit_length())) - len(outs)
+        if n_pad:
+            zero = jax.tree.map(jnp.zeros_like, outs[0])
+            outs.extend([zero] * n_pad)
         feats = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:total], *outs)
         log["n_images"] = total
         log["keypoints"] = int(np.asarray(feats.kp.mask).sum())

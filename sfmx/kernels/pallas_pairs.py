@@ -163,8 +163,8 @@ def _pairs_fused_kernel(pairs_ref, d_hbm, dt_hbm, ma_hbm, mb_hbm, o_ref,
     for j in range(G):
         for c in copies[j]:
             c.wait()
-        b = b_buf[j].astype(jnp.bfloat16)                # (K, D) image b
-        at = at_buf[j].astype(jnp.bfloat16)              # (D, K) image a
+        b = b_buf[j]                                     # (K, D) bf16 image b
+        at = at_buf[j]                                   # (D, K) bf16 image a
         # TRANSPOSED tile (b on sublanes, a on lanes): every per-a-keypoint
         # reduction (max/argmax/second/mutual) runs along SUBLANES, which
         # the VPU reduces far faster than cross-lane; only the per-b column
@@ -184,7 +184,12 @@ def _pairs_fused_kernel(pairs_ref, d_hbm, dt_hbm, ma_hbm, mb_hbm, o_ref,
         ok = (d1 < ratio * ratio * d2) & (ma_buf[j, 0, :] > 0.0)
         if cross_check:
             bmax = jnp.max(sim, axis=1)                  # (Kb,) per-b max
-            mutual = jnp.any((sim == s1[None, :]) & (sim == bmax[:, None]),
+            # restrict the mutual test to the WINNING row a1: any() over
+            # all rows could accept via a tying cell in a different row
+            # while idx still points at a1 (ADVICE r3) — this form is
+            # exactly bmax[a1[k]] == s1[k], matching the dense matcher's
+            # index-based cross-check
+            mutual = jnp.any((row == a1[None, :]) & (sim == bmax[:, None]),
                              axis=0)
             ok &= mutual
         o_ref[j, 0] = s1
@@ -219,7 +224,10 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
     if npad != Np:
         pairs = jnp.concatenate(
             [pairs, jnp.zeros((npad - Np, 2), pairs.dtype)], axis=0)
-    d32 = descs.astype(jnp.float32)
+    # bf16 descriptor buffers: the kernel's MXU dot already rounds inputs
+    # to bf16, so casting HOST-side is bit-identical — and the kernel is
+    # descriptor-DMA-bound, so halving the bytes per pair buys throughput
+    d32 = descs.astype(jnp.bfloat16)
     d32_t = jnp.swapaxes(d32, 1, 2)
     # (C, 8, K): mask rows broadcast across a full sublane tile so the
     # per-pair manual DMA slices an aligned (8, K) block, not a 1-row one
@@ -232,8 +240,8 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
         out_specs=[pl.BlockSpec((G, 4, K), lambda i, pairs: (i, 0, 0))],
         scratch_shapes=[
-            pltpu.VMEM((G, K, D), jnp.float32),
-            pltpu.VMEM((G, D, K), jnp.float32),
+            pltpu.VMEM((G, K, D), jnp.bfloat16),
+            pltpu.VMEM((G, D, K), jnp.bfloat16),
             pltpu.VMEM((G, 8, K), jnp.float32),
             pltpu.VMEM((G, 8, K), jnp.float32),
             pltpu.SemaphoreType.DMA((G,)),

@@ -82,23 +82,42 @@ def retrieval_scores(kf_vlad: jax.Array, q_vlad: jax.Array) -> jax.Array:
 
 def recall_at_k(kf_gdesc: jax.Array, kf_centers: jax.Array,
                 kf_alive: jax.Array, q_gdesc: jax.Array,
-                q_centers: jax.Array, k: int = 8) -> float:
-    """Retrieval quality metric (SURVEY C8): fraction of queries whose
-    TRUE nearest keyframe (by camera-center distance — the retrieval's
-    whole job is to surface spatially co-located keyframes) appears in the
-    top-k retrieval scores.  Host-side diagnostic; exported by `evaluate`
-    and the config harnesses so retrieval capacity regressions are
-    measured, not guessed (VERDICT r3 item 7).
+                q_centers: jax.Array, k: int = 8,
+                radius: float | None = None) -> float:
+    """Retrieval quality metric (SURVEY C8): fraction of queries for which
+    the top-k retrieval surfaces a spatially co-located keyframe — the
+    retrieval's whole job (VERDICT r3 item 7).
+
+    radius: a hit = some retrieved keyframe center lies within ``radius``
+    of the query's true position.  None auto-sizes it to
+    max(3x the nearest-keyframe distance, 4x median keyframe spacing):
+    on densely sampled walkthroughs (mm-scale frame spacing) hundreds of
+    keyframes are visually identical, so "THE single nearest frame in
+    top-k" is near-chance by construction and measures nothing — any
+    same-spot keyframe serves 2D-3D matching equally well.
     """
     kf_g = np.asarray(kf_gdesc)
     alive = np.asarray(kf_alive)
+    kfc = np.asarray(kf_centers)
+    qc = np.asarray(q_centers)
     scores = np.asarray(q_gdesc) @ kf_g.T                # (Q,C)
     scores[:, ~alive] = -np.inf
-    d2 = np.sum((np.asarray(q_centers)[:, None]
-                 - np.asarray(kf_centers)[None]) ** 2, -1)
-    d2[:, ~alive] = np.inf
-    true_nn = np.argmin(d2, axis=1)                      # (Q,)
+    d = np.sqrt(np.sum((qc[:, None] - kfc[None]) ** 2, -1))
+    d[:, ~alive] = np.inf
+    if radius is None:
+        ai = np.flatnonzero(alive)
+        if len(ai) > 4096:  # spacing estimate from a subsample (O(n^2) mem)
+            ai = ai[:: len(ai) // 4096 + 1]
+        if len(ai) > 1:
+            kd = np.sqrt(np.sum((kfc[ai][:, None] - kfc[ai][None]) ** 2, -1))
+            np.fill_diagonal(kd, np.inf)
+            spacing = float(np.median(kd.min(axis=1)))
+        else:
+            spacing = 0.0
+        radius = np.maximum(3.0 * d.min(axis=1), 4.0 * spacing)  # (Q,)
     kk = min(k, int(alive.sum()))
     topk = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-    hit = (topk == true_nn[:, None]).any(axis=1)
+    d_top = np.take_along_axis(d, topk, axis=1)          # (Q,kk)
+    hit = (d_top <= np.asarray(radius).reshape(-1, 1)
+           if np.ndim(radius) else d_top <= radius).any(axis=1)
     return float(hit.mean())

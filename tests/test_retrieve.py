@@ -77,3 +77,31 @@ def test_vlad_masks_dead_rows(rng):
     m2 = np.concatenate([np.ones(32, bool), np.zeros(16, bool)])
     masked = retrieve.vlad_encode(jnp.asarray(f2), jnp.asarray(m2), vocab)
     np.testing.assert_allclose(np.asarray(full), np.asarray(masked), atol=1e-5)
+
+
+def test_recall_at_k_metric():
+    """recall_at_k: position-correlated descriptors score ~1.0, random
+    descriptors score near chance; dense-spacing tolerance radius means a
+    same-spot neighbor counts as a hit."""
+    import numpy as np
+
+    from sfmx.localize import retrieve
+
+    rng = np.random.default_rng(0)
+    C, Q, D = 256, 32, 16
+    th = np.linspace(0, 2 * np.pi, C, endpoint=False)
+    kfc = np.stack([np.cos(th), np.sin(th), 0 * th], 1).astype(np.float32)
+    g = np.concatenate([kfc[:, :2], 0.05 * rng.standard_normal((C, D - 2))],
+                       1).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    qi = rng.integers(0, C, Q)
+    qc = kfc[qi] + 0.001 * rng.standard_normal((Q, 3)).astype(np.float32)
+    qg = g[qi] + 0.02 * rng.standard_normal((Q, D)).astype(np.float32)
+    qg /= np.linalg.norm(qg, axis=1, keepdims=True)
+    alive = np.ones(C, bool)
+    r_good = retrieve.recall_at_k(g, kfc, alive, qg, qc, k=8)
+    assert r_good >= 0.95, r_good
+    g_rand = rng.standard_normal((C, D)).astype(np.float32)
+    g_rand /= np.linalg.norm(g_rand, axis=1, keepdims=True)
+    r_bad = retrieve.recall_at_k(g_rand, kfc, alive, qg, qc, k=8)
+    assert r_bad < 0.7, r_bad
