@@ -164,6 +164,7 @@ def _extract_raw(images: np.ndarray, cfg: PipelineConfig):
             # the AKAZE det-Hessian default is meaningless for |DoG|
             threshold=(0.015 if thr < 1e-4 else thr),
             oriented=cfg.features.oriented,
+            n_octaves=cfg.features.n_octaves,
         )
     sscfg = features.ScaleSpaceConfig(
         sigma_levels=tuple(cfg.features.sigma_levels))

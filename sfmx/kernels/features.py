@@ -600,17 +600,28 @@ def detect_and_describe(images: jax.Array, cfg: ScaleSpaceConfig = ScaleSpaceCon
         if o:
             img_o = _downsample2(img_o)
         k_o = max(64, max_keypoints >> o)
-        f = _extract_octave(img_o, cfg, k_o, threshold, oriented)
+        parts.append(_extract_octave(img_o, cfg, k_o, threshold, oriented))
+    return merge_octave_features(parts, cfg.n_levels, max_keypoints)
+
+
+def merge_octave_features(parts: list, n_levels: int,
+                          max_keypoints: int) -> Features:
+    """Merge per-octave Features (parts[o] extracted at 1/2^o resolution)
+    into one full-resolution set: rescale uv/sigma, suppress cross-octave
+    duplicates, global top-K by response.  Shared by the AKAZE-analog and
+    SIFT octave paths."""
+    scaled = []
+    for o, f in enumerate(parts):
         s = float(1 << o)
         kp = f.kp._replace(
             # avg-pool cell i covers full-res [s*i, s*i+s): center s*i+(s-1)/2
             uv=f.kp.uv * s + (s - 1.0) / 2.0,
             sigma=f.kp.sigma * s,
-            level=f.kp.level + o * cfg.n_levels,
+            level=f.kp.level + o * n_levels,
         )
-        parts.append(Features(kp=kp, desc=f.desc, desc_bits=f.desc_bits))
+        scaled.append(Features(kp=kp, desc=f.desc, desc_bits=f.desc_bits))
     cat = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+        lambda *xs: jnp.concatenate(xs, axis=1), *scaled)
     # cross-octave duplicate suppression: the SAME blob (similar effective
     # sigma, e.g. octave-0 level sigma 6 vs octave-1 level sigma 3*2) fires
     # in adjacent octaves one pixel apart; kill the weaker.  Distinct-scale

@@ -85,8 +85,11 @@ def match_top2(desc_a: jax.Array, desc_b: jax.Array, *,
     Ka, D = desc_a.shape
     Kb, _ = desc_b.shape
     assert Ka % tile_a == 0 and Kb % tile_b == 0, (Ka, Kb, tile_a, tile_b)
-    a16 = desc_a.astype(jnp.float32)
-    b16 = desc_b.astype(jnp.float32)
+    # bf16 into VMEM: the kernel's MXU dot rounds to bf16 anyway, so the
+    # host-side cast is bit-identical and halves the landmark-pool
+    # streaming traffic — the kernel's whole cost at 10^5+ landmarks
+    a16 = desc_a.astype(jnp.bfloat16)
+    b16 = desc_b.astype(jnp.bfloat16)
 
     grid = (Ka // tile_a, Kb // tile_b)
     out_shape = [

@@ -184,15 +184,7 @@ def _binarize(desc: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_keypoints", "threshold", "oriented"))
-def detect_and_describe_sift(images: jax.Array, *, max_keypoints: int = 512,
-                             threshold: float = 0.015,
-                             oriented: bool = False) -> Features:
-    """Full SIFT-family extraction; drop-in alternative to the AKAZE analog.
-
-    threshold is the |DoG| contrast threshold on [0,1] images (OpenCV's
-    0.04/n_sublevels analog).  Pad desc to the shared N_FLOAT_DIM=128 —
-    SIFT is exactly 128-d, so no padding is needed.
-    """
+def _extract_sift_octave(images, max_keypoints, threshold, oriented):
     kp, G = detect_sift(images, max_keypoints=max_keypoints,
                         threshold=threshold, oriented=oriented)
     desc = describe_sift(G, kp)
@@ -204,3 +196,33 @@ def detect_and_describe_sift(images: jax.Array, *, max_keypoints: int = 512,
     if pad > 0:
         bits = jnp.pad(bits, ((0, 0), (0, 0), (0, pad)))
     return Features(kp=kp, desc=desc, desc_bits=bits)
+
+
+def detect_and_describe_sift(images: jax.Array, *, max_keypoints: int = 512,
+                             threshold: float = 0.015,
+                             oriented: bool = False,
+                             n_octaves: int = 1) -> Features:
+    """Full SIFT-family extraction; drop-in alternative to the AKAZE analog.
+
+    threshold is the |DoG| contrast threshold on [0,1] images (OpenCV's
+    0.04/n_sublevels analog).  Pad desc to the shared N_FLOAT_DIM=128 —
+    SIFT is exactly 128-d, so no padding is needed.
+
+    n_octaves > 1: 2x-downsampled octaves merged exactly like the
+    AKAZE-analog path (features.merge_octave_features) — the flat 6-level
+    pyramid spans sigma 1.6-9 (~3x scale band) per octave.
+    """
+    if n_octaves <= 1:
+        return _extract_sift_octave(images, max_keypoints, threshold,
+                                    oriented)
+    from .features import _downsample2, merge_octave_features
+
+    parts = []
+    img_o = images
+    for o in range(n_octaves):
+        if o:
+            img_o = _downsample2(img_o)
+        k_o = max(64, max_keypoints >> o)
+        parts.append(_extract_sift_octave(img_o, k_o, threshold, oriented))
+    return merge_octave_features(parts, _dog_scales().n_levels,
+                                 max_keypoints)

@@ -71,3 +71,35 @@ def test_sift_full_reconstruction():
     scene, feats, tt, stats = build_map(imgs, intr, cam_k, cfg)
     assert stats["n_registered"] >= 5, stats
     assert stats["n_points"] > 50, stats
+
+
+def test_sift_multi_octave_scale_invariance():
+    """SIFT octave path: matching survives a ~4.4x scale change that the
+    flat single-octave pyramid cannot bridge (same harness as the AKAZE
+    multi-octave test)."""
+    from PIL import Image as PILImage
+
+    from sfmx.kernels import features, matching
+
+    rng = np.random.default_rng(5)
+    img = rng.random((240, 320)).astype(np.float32)
+    img = features.gaussian_blur(jnp.asarray(img)[None], 3.0)[0]
+    img = np.asarray((img - img.min()) / (img.max() - img.min() + 1e-9))
+    small = np.asarray(PILImage.fromarray(
+        (img * 255).astype(np.uint8)).resize((72, 54), PILImage.BILINEAR),
+        np.float32) / 255.0
+    scale = 320.0 / 72.0
+    f1 = sift.detect_and_describe_sift(jnp.asarray(img)[None],
+                                       max_keypoints=512, n_octaves=3)
+    f2 = sift.detect_and_describe_sift(jnp.asarray(small)[None],
+                                       max_keypoints=512)
+    d = jnp.concatenate([f1.desc, f2.desc], axis=0)
+    m = jnp.concatenate([f1.kp.mask, f2.kp.mask], axis=0)
+    res = matching.match_pairs_float(d, m, jnp.asarray([[0, 1]], np.int32))
+    idx = np.asarray(res.idx[0])
+    val = np.asarray(res.valid[0])
+    err = np.linalg.norm(
+        np.asarray(f1.kp.uv[0]) / scale - np.asarray(f2.kp.uv[0])[idx],
+        axis=1)
+    n_good = int((val & (err < 3.0)).sum())
+    assert n_good >= 8, n_good
