@@ -426,7 +426,15 @@ def config5_serve(fps: int):
     async def run():
         from aiohttp.test_utils import TestClient, TestServer
 
+        from sfmx.serve.server import ServiceStats
+
         async with TestClient(TestServer(app)) as client:
+            # warm the serving programs (first requests pay compile),
+            # then reset stats so p95 measures steady state
+            await client.post("/localize",
+                              json={"map_id": "merged",
+                                    "image": payloads[0]})
+            svc.stats = ServiceStats()
             rs = await asyncio.gather(*[
                 client.post("/localize",
                             json={"map_id": "merged", "image": pl})

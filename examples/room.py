@@ -75,7 +75,10 @@ def render_room(tex: RoomTexture, R, eye, width=320, height=240, focal=280.0):
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = (bound - eye[axis]) / d
             t = np.where(np.abs(d) < 1e-12, np.inf, t)
-            pt = eye[None, :] + t[:, None] * dirs
+            # inf * 0 rays (parallel to the face) are masked below; keep
+            # the arithmetic finite so numpy stays quiet
+            with np.errstate(invalid="ignore"):
+                pt = eye[None, :] + t[:, None] * dirs
             oa = [a for a in range(3) if a != axis]
             inside = (
                 (t > 1e-6)

@@ -186,6 +186,21 @@ def extract_features(images: np.ndarray, cfg: PipelineConfig):
     return feats
 
 
+_CONCAT2 = None
+
+
+def _concat2(a, b):
+    """Jitted two-operand pytree concat (lazy singleton: jax import cost)."""
+    global _CONCAT2
+    if _CONCAT2 is None:
+        import jax
+        import jax.numpy as jnp
+
+        _CONCAT2 = jax.jit(lambda a, b: jax.tree.map(
+            lambda x, y: jnp.concatenate([x, y]), a, b))
+    return _CONCAT2(a, b)
+
+
 def extract_features_streaming(paths, cfg: PipelineConfig, *,
                                chunk: int = 16, workers: int = 8,
                                resize_to=(640, 480)):
@@ -204,9 +219,12 @@ def extract_features_streaming(paths, cfg: PipelineConfig, *,
 
     from . import ingest
 
+    import time as _time
+
     outs, sizes, total = [], [], 0
     with LOGGER.scope("extract_stream", chunk=chunk,
                       extractor=cfg.features.extractor) as log:
+        t_loop = _time.time()
         for imgs, orig in ingest.iter_decoded_chunks(
                 paths, resize_to=resize_to, chunk=chunk, workers=workers):
             b = imgs.shape[0]
@@ -218,17 +236,28 @@ def extract_features_streaming(paths, cfg: PipelineConfig, *,
             outs.append(_extract_raw(imgs, cfg))
             sizes.append(orig)
             total += b
-        # pow2-bucket the chunk COUNT before concatenating: the N-ary device
-        # concat is its own XLA program per N, so every distinct dataset
-        # size would otherwise pay a fresh multi-minute cold compile on this
-        # backend (the dominant wall cost of the first 2048-frame build)
+        log["loop_s"] = round(_time.time() - t_loop, 2)
+        t_cat = _time.time()
+        # Assemble device-side via a BINARY tree of 2-operand jitted
+        # concats: the flat N-ary eager concatenate was a fresh XLA program
+        # per chunk count that measured 288 s to compile on this backend
+        # and is never disk-cached (eager-op executables are in-process
+        # only); host assembly costs ~40 s of D2H per 512 frames through
+        # the ~6 MB/s tunnel.  The tree needs log2(N) distinct two-operand
+        # programs, shared by every dataset size (chunk count pow2-padded)
+        # and persistent-cacheable like any jit.
         n_pad = (1 << max(0, (len(outs) - 1).bit_length())) - len(outs)
         if n_pad:
             zero = jax.tree.map(jnp.zeros_like, outs[0])
             outs.extend([zero] * n_pad)
-        feats = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:total], *outs)
+        while len(outs) > 1:
+            outs = [_concat2(outs[i], outs[i + 1])
+                    for i in range(0, len(outs), 2)]
+        feats = jax.tree.map(lambda x: x[:total], outs[0])
         log["n_images"] = total
         log["keypoints"] = int(np.asarray(feats.kp.mask).sum())
+        # loop_s ~ decode + async dispatch; concat_s ~ drain + tree concat
+        log["concat_s"] = round(_time.time() - t_cat, 2)
     return feats, np.concatenate(sizes)
 
 
