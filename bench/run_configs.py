@@ -39,6 +39,10 @@ p.add_argument("--platform", default=None)
 p.add_argument("--frames", type=int, default=32,
                help="config 2: walkthrough length (>=64 switches to the "
                     "streaming CLI path with retrieval pair selection)")
+p.add_argument("--scene", default="room", choices=["room", "corridor"],
+               help="rendered environment: single box room, or a 4-room "
+                    "corridor (distributed structure -> real partition "
+                    "locality for the config-4 block-BA proof)")
 args = p.parse_args()
 
 import jax
@@ -81,12 +85,20 @@ def config2_scale(frames: int):
     from sfmx.solvers import umeyama
     from sfmx.utils.logging import LOGGER
 
-    tex = RoomTexture(seed=7)
-    poses = walk_poses(frames)
+    if args.scene == "corridor":
+        from examples.room import Corridor, corridor_walk_poses, render_corridor
+
+        cor = Corridor(n_rooms=4, seed=7)
+        poses = corridor_walk_poses(cor, frames)
+        render = lambda R, eye: render_corridor(cor, R, eye, 320, 240, 280.0)
+    else:
+        tex = RoomTexture(seed=7)
+        poses = walk_poses(frames)
+        render = lambda R, eye: render_room(tex, R, eye, 320, 240, 280.0)
     tmp = Path(tempfile.mkdtemp(prefix="sfmx_c2_"))
     (tmp / "imgs").mkdir()
     for i, (R, t, eye) in enumerate(poses):
-        img = render_room(tex, R, eye, 320, 240, 280.0)
+        img = render(R, eye)
         Image.fromarray((img * 255).astype(np.uint8)).save(
             tmp / "imgs" / f"{i:04d}.png")
 
@@ -96,7 +108,9 @@ def config2_scale(frames: int):
     # pair is below the triangulation parallax gate (measured at 512 frames:
     # 1.2 cm/frame steps, a 16-frame window maxed out at 1.14 deg median
     # triangulation angle vs the 1.5 deg gate — frames//8 reaches ~5 deg).
-    window = max(6, frames // 8)
+    # corridor walks cover ~5x the path length per frame; keep the pair
+    # window spanning ~2.5 m of path so doorway transitions stay bridged
+    window = max(6, frames // 8) if args.scene == "room" else max(12, frames // 13)
     buf = io.StringIO()
     old_stream = LOGGER._stream
     LOGGER._stream = buf
@@ -129,7 +143,12 @@ def config2_scale(frames: int):
                                                 jnp.asarray(ref),
                                                 scene.cam_alive)
     n_reg = int(np.asarray(scene.cam_alive).sum())
-    ok = n_reg >= int(0.95 * frames) and float(rmse) < 0.1
+    # ATE gate scales with trajectory length (the corridor path is ~32 m
+    # of loop-free forward motion vs the room's 6 m): 1.5% of path length,
+    # floored at the original 0.1 m room gate
+    path_len = float(np.linalg.norm(np.diff(ref, axis=0), axis=1).sum())
+    ate_gate = max(0.1, 0.015 * path_len)
+    ok = n_reg >= int(0.95 * frames) and float(rmse) < ate_gate
 
     # retrieval quality at this map scale (VERDICT r3 item 7): held-out
     # views (perturbed map poses) must retrieve their true nearest keyframe
@@ -150,7 +169,7 @@ def config2_scale(frames: int):
             eye2 = eye + rngq.uniform(-0.05, 0.05, 3)
             fwd = Rq[2]
             Rq2, _ = look_at(eye2, eye2 + 5.0 * fwd)
-            q_imgs.append(render_room(tex, Rq2, eye2, 320, 240, 280.0))
+            q_imgs.append(render(Rq2, eye2))
             q_eyes.append(eye2)
         qcfg = PipelineConfig(features=FeatureConfig(max_keypoints=512),
                               resize_to=(320, 240), focal_factor=0.875)
@@ -165,8 +184,11 @@ def config2_scale(frames: int):
     except Exception as e:  # keep the scale report even if recall fails
         recall8 = f"error: {e}"
 
-    return {"config": "2+", "n_frames": frames, "n_registered": n_reg,
-            "ate_m": round(float(rmse), 4), "wall_s": round(wall, 1),
+    return {"config": "2+", "scene": args.scene, "n_frames": frames,
+            "n_registered": n_reg,
+            "ate_m": round(float(rmse), 4),
+            "ate_gate_m": round(ate_gate, 3),
+            "path_len_m": round(path_len, 1), "wall_s": round(wall, 1),
             "stage_s": stage_s, "recall_at_8": recall8, "pass": bool(ok),
             "map_path": str(tmp / "map")}
 
@@ -429,11 +451,14 @@ def config5_serve(fps: int):
         from sfmx.serve.server import ServiceStats
 
         async with TestClient(TestServer(app)) as client:
-            # warm the serving programs (first requests pay compile),
-            # then reset stats so p95 measures steady state
-            await client.post("/localize",
-                              json={"map_id": "merged",
-                                    "image": payloads[0]})
+            # warm with the SAME concurrent pattern as the timed pass:
+            # the router compiles per-shard programs per batch-size
+            # bucket, so a single warmup request leaves the gathered
+            # batch's bucket cold and p95 measures compile, not serving
+            await asyncio.gather(*[
+                client.post("/localize",
+                            json={"map_id": "merged", "image": pl})
+                for pl in payloads])
             svc.stats = ServiceStats()
             rs = await asyncio.gather(*[
                 client.post("/localize",
