@@ -7,8 +7,16 @@
 // production path for 5k-20k-image maps (configs 4-5).
 //
 // Semantics (identical to the Python oracle, tested for parity):
-//   * union (imgA,featA)~(imgB,featB) for every valid match
-//   * a track containing two features of the same image is corrupted -> drop
+//   * CONFLICT-AWARE union (imgA,featA)~(imgB,featB): a union whose two
+//     components already share an image (with different features) is
+//     REJECTED — that edge is provably wrong, and accepting it is how one
+//     bad match between self-similar regions percolates the whole match
+//     graph into a single chimeric mega-component (measured on a
+//     1024-frame corridor: 386k of 399k matched features in ONE component
+//     before this rule; healthy track sets after).  Edges are processed in
+//     pair-list order, features ascending.
+//   * residual same-image conflicts (none should survive) are split, not
+//     dropped: the conflicting image's observations are removed.
 //   * tracks shorter than min_length are dropped
 //   * observations sorted by track id; track ids dense in [0, n_tracks)
 //   * track order matches the Python impl: by (min node id in component)
@@ -16,6 +24,8 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <unordered_set>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -63,6 +73,15 @@ int64_t sfmx_build_tracks(
   const int64_t n_nodes = n_images * max_feats;
   UnionFind uf(n_nodes);
   std::vector<uint8_t> used(n_nodes, 0);
+  // per-ROOT image set for the conflict-aware union (small-to-large merge)
+  std::vector<std::unordered_set<int32_t>> imgset(n_nodes);
+
+  auto ensure = [&](int64_t node) {
+    if (!used[node]) {
+      used[node] = 1;
+      imgset[node].insert(static_cast<int32_t>(node / max_feats));
+    }
+  };
 
   for (int64_t p = 0; p < n_pairs; ++p) {
     const int64_t a = pair_list[2 * p];
@@ -74,8 +93,33 @@ int64_t sfmx_build_tracks(
       const int64_t fb = row_idx[fa];
       const int64_t na = a * max_feats + fa;
       const int64_t nb = b * max_feats + fb;
-      used[na] = used[nb] = 1;
+      ensure(na);
+      ensure(nb);
+      int64_t ra = uf.find(na), rb = uf.find(nb);
+      if (ra == rb) continue;
+      // reject the union if the components share any image
+      std::unordered_set<int32_t>* sa = &imgset[ra];
+      std::unordered_set<int32_t>* sb = &imgset[rb];
+      const std::unordered_set<int32_t>* small =
+          (sa->size() <= sb->size()) ? sa : sb;
+      const std::unordered_set<int32_t>* large =
+          (small == sa) ? sb : sa;
+      bool conflict = false;
+      for (int32_t img : *small) {
+        if (large->count(img)) { conflict = true; break; }
+      }
+      if (conflict) continue;
       uf.unite(na, nb);
+      const int64_t rn = uf.find(na);  // surviving root
+      // move the smaller set into the surviving root's set
+      std::unordered_set<int32_t>& dst = imgset[rn];
+      std::unordered_set<int32_t>& other = (rn == ra) ? imgset[rb]
+                                                      : imgset[ra];
+      if (&dst != &other) {
+        if (dst.size() < other.size()) dst.swap(other);
+        dst.insert(other.begin(), other.end());
+        other.clear();
+      }
     }
   }
 
@@ -89,25 +133,37 @@ int64_t sfmx_build_tracks(
   int64_t out_n = 0;
   int32_t tid = 0;
   const int64_t total = static_cast<int64_t>(nodes.size());
+  std::vector<uint8_t> keep;
   int64_t s = 0;
   while (s < total) {
     int64_t e = s;
     while (e < total && nodes[e].first == nodes[s].first) ++e;
     const int64_t len = e - s;
-    bool ok = len >= min_length;
-    if (ok) {
-      // same-image conflict check (images of a sorted-node run)
-      for (int64_t i = s + 1; i < e && ok; ++i) {
-        if (nodes[i].second / max_feats == nodes[i - 1].second / max_feats) {
-          // node ids sorted => same image appears adjacently iff duplicated
-          ok = false;
-        }
-      }
+    if (len < min_length) {
+      s = e;
+      continue;
     }
-    if (ok) {
-      if (out_n + len > out_cap) return -1;
-      for (int64_t i = s; i < e; ++i) {
-        const int64_t node = nodes[i].second;
+    // conflict SPLIT: node ids are sorted within the run, so observations
+    // of the same image are adjacent — flag every member of a same-image
+    // group with count > 1
+    keep.assign(len, 1);
+    int64_t kept = len;
+    int64_t i = s;
+    while (i < e) {
+      int64_t j = i;
+      const int64_t img = nodes[i].second / max_feats;
+      while (j < e && nodes[j].second / max_feats == img) ++j;
+      if (j - i > 1) {
+        for (int64_t k = i; k < j; ++k) keep[k - s] = 0;
+        kept -= (j - i);
+      }
+      i = j;
+    }
+    if (kept >= min_length) {
+      if (out_n + kept > out_cap) return -1;
+      for (int64_t k = s; k < e; ++k) {
+        if (!keep[k - s]) continue;
+        const int64_t node = nodes[k].second;
         out_cam[out_n] = static_cast<int32_t>(node / max_feats);
         out_feat[out_n] = static_cast<int32_t>(node % max_feats);
         out_track[out_n] = tid;

