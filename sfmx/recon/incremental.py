@@ -482,14 +482,23 @@ def reconstruct(
     points_at_failure = np.full(C, -1.0)
     while True:
         n_alive = float(X_alive.sum())
-        # Failed cameras become eligible again once the map has grown 20%
-        # since their failure (a later-triangulated region may now cover them).
-        retry = failed & (points_at_failure > 0) & (n_alive > 1.2 * points_at_failure)
-        failed[retry] = False
         counts = np.array([
-            0 if (registered[c] or failed[c]) else int(X_alive[cam_tracks[c]].sum())
+            0 if registered[c] else int(X_alive[cam_tracks[c]].sum())
             for c in range(C)
         ])
+        # Failed cameras become eligible again once the structure THEY see
+        # has grown 25% (or by 15 points) since their failure.  The retry
+        # condition must be per-camera: a frontier expanding into a new
+        # region (e.g. the first room of a corridor when the seed landed
+        # mid-corridor) adds points slowly relative to the whole map, so a
+        # global-growth trigger never fires and the frontier's failed
+        # cameras stay dead forever (measured: 278 of 1024 corridor frames
+        # permanently unregistered at the trajectory's ends).
+        retry = failed & (points_at_failure >= 0) & (
+            (counts > 1.25 * points_at_failure)
+            | (counts > points_at_failure + 15))
+        failed[retry] = False
+        counts[failed] = 0
         eligible = np.where(counts >= cfg.min_resection_inliers)[0]
         if len(eligible) == 0:
             break
@@ -527,7 +536,9 @@ def reconstruct(
         for bi, c in enumerate(eligible):
             if int(cntb[bi]) < cfg.min_resection_inliers:
                 failed[c] = True
-                points_at_failure[c] = n_alive
+                # per-camera: the alive-structure count THIS camera saw at
+                # failure (retry fires when its own coverage grows)
+                points_at_failure[c] = counts[c]
                 continue
             cam_R[c] = Rb[bi]
             cam_t[c] = tb[bi]
