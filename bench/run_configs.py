@@ -480,6 +480,8 @@ def config5_serve(fps: int):
           and recall8 >= 0.9)
     return {"config": "5-serve", "sessions": 3, "frames_per_session": fps,
             "cams": mstats["n_cameras"], "points": mstats["n_points"],
+            "merge_pair_inliers": mstats.get("pair_inliers"),
+            "joint_ba_cost": mstats.get("joint_ba_cost"),
             "merged_ate_m": round(float(ate), 4),
             "recall_at_8": round(recall8, 3),
             "query_err_median_m": round(float(np.median(errs)), 4),
