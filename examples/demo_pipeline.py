@@ -8,8 +8,13 @@ mocked descriptors), then runs the full public pipeline:
 Usage: python examples/demo_pipeline.py [--platform cpu]
 """
 import argparse
+import os
 import sys
 import time
+
+# make `python examples/demo_pipeline.py` work from any cwd (Python 3.12
+# puts the SCRIPT dir, not the cwd, on sys.path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -24,6 +24,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <unordered_map>
 #include <unordered_set>
 #include <utility>
 #include <vector>
@@ -73,14 +74,16 @@ int64_t sfmx_build_tracks(
   const int64_t n_nodes = n_images * max_feats;
   UnionFind uf(n_nodes);
   std::vector<uint8_t> used(n_nodes, 0);
-  // per-ROOT image set for the conflict-aware union (small-to-large merge)
-  std::vector<std::unordered_set<int32_t>> imgset(n_nodes);
+  // Per-ROOT image set for the conflict-aware union.  Sparse by design:
+  // a singleton component's image set is implicitly {node / max_feats}, so
+  // only MERGED roots ever allocate a heap set — at production scale
+  // (5k-20k images x ~2k features = tens of millions of nodes) the dense
+  // vector-of-sets this replaces zero-initialized multi-GB of host RAM for
+  // nodes that never appear in any match.
+  std::unordered_map<int64_t, std::unordered_set<int32_t>> imgmap;
 
-  auto ensure = [&](int64_t node) {
-    if (!used[node]) {
-      used[node] = 1;
-      imgset[node].insert(static_cast<int32_t>(node / max_feats));
-    }
+  auto img_of = [&](int64_t node) {
+    return static_cast<int32_t>(node / max_feats);
   };
 
   for (int64_t p = 0; p < n_pairs; ++p) {
@@ -93,32 +96,52 @@ int64_t sfmx_build_tracks(
       const int64_t fb = row_idx[fa];
       const int64_t na = a * max_feats + fa;
       const int64_t nb = b * max_feats + fb;
-      ensure(na);
-      ensure(nb);
+      used[na] = 1;
+      used[nb] = 1;
       int64_t ra = uf.find(na), rb = uf.find(nb);
       if (ra == rb) continue;
       // reject the union if the components share any image
-      std::unordered_set<int32_t>* sa = &imgset[ra];
-      std::unordered_set<int32_t>* sb = &imgset[rb];
-      const std::unordered_set<int32_t>* small =
-          (sa->size() <= sb->size()) ? sa : sb;
-      const std::unordered_set<int32_t>* large =
-          (small == sa) ? sb : sa;
-      bool conflict = false;
-      for (int32_t img : *small) {
-        if (large->count(img)) { conflict = true; break; }
+      auto ita = imgmap.find(ra);
+      auto itb = imgmap.find(rb);
+      std::unordered_set<int32_t>* sa =
+          (ita == imgmap.end()) ? nullptr : &ita->second;
+      std::unordered_set<int32_t>* sb =
+          (itb == imgmap.end()) ? nullptr : &itb->second;
+      bool conflict;
+      if (sa == nullptr && sb == nullptr) {
+        conflict = (img_of(ra) == img_of(rb));
+      } else if (sa == nullptr) {
+        conflict = sb->count(img_of(ra)) != 0;
+      } else if (sb == nullptr) {
+        conflict = sa->count(img_of(rb)) != 0;
+      } else {
+        const std::unordered_set<int32_t>* small =
+            (sa->size() <= sb->size()) ? sa : sb;
+        const std::unordered_set<int32_t>* large = (small == sa) ? sb : sa;
+        conflict = false;
+        for (int32_t img : *small) {
+          if (large->count(img)) { conflict = true; break; }
+        }
       }
       if (conflict) continue;
       uf.unite(na, nb);
       const int64_t rn = uf.find(na);  // surviving root
-      // move the smaller set into the surviving root's set
-      std::unordered_set<int32_t>& dst = imgset[rn];
-      std::unordered_set<int32_t>& other = (rn == ra) ? imgset[rb]
-                                                      : imgset[ra];
-      if (&dst != &other) {
-        if (dst.size() < other.size()) dst.swap(other);
-        dst.insert(other.begin(), other.end());
-        other.clear();
+      const int64_t ro = (rn == ra) ? rb : ra;
+      // merge the two image sets (implicit singletons materialize here)
+      std::unordered_set<int32_t>* sn = (rn == ra) ? sa : sb;
+      std::unordered_set<int32_t>* so = (rn == ra) ? sb : sa;
+      if (sn == nullptr) {
+        sn = &imgmap[rn];  // may rehash; so-pointer re-fetched below
+        sn->insert(img_of(rn));
+        auto ito = imgmap.find(ro);
+        so = (ito == imgmap.end()) ? nullptr : &ito->second;
+      }
+      if (so == nullptr) {
+        sn->insert(img_of(ro));
+      } else {
+        if (sn->size() < so->size()) sn->swap(*so);
+        sn->insert(so->begin(), so->end());
+        imgmap.erase(ro);
       }
     }
   }

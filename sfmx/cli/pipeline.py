@@ -237,6 +237,10 @@ def extract_features_streaming(paths, cfg: PipelineConfig, *,
             sizes.append(orig)
             total += b
         log["loop_s"] = round(_time.time() - t_loop, 2)
+        if not outs:
+            raise ValueError(
+                "extract_features_streaming: no images decoded (empty or "
+                "unreadable path list)")
         t_cat = _time.time()
         # Assemble device-side via a BINARY tree of 2-operand jitted
         # concats: the flat N-ary eager concatenate was a fresh XLA program

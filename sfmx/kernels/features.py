@@ -627,6 +627,14 @@ def merge_octave_features(parts: list, n_levels: int,
     # in adjacent octaves one pixel apart; kill the weaker.  Distinct-scale
     # features at the same location are different features (different
     # support) and both stay — only near-equal sigmas are duplicates.
+    # Deliberately SINGLE-PASS and non-transitive: C can be suppressed by a
+    # B that is itself suppressed by A.  In a chain of near-equal-sigma
+    # neighbors that over-suppresses (vs. iterating until only survivors
+    # suppress), but duplicates here come in PAIRS (one blob, two adjacent
+    # octaves), chains of 3+ require three octaves firing on one blob
+    # within 1.5 sigma, and losing a borderline member of such a cluster
+    # costs nothing downstream (the survivor carries the track).  Accepted
+    # approximation — one pass keeps the merge a single fused (B,Kt,Kt) op.
     uv, resp0, mask = cat.kp.uv, cat.kp.response, cat.kp.mask
     B, Kt = resp0.shape
     d2 = jnp.sum((uv[:, :, None, :] - uv[:, None, :, :]) ** 2, axis=-1)

@@ -202,6 +202,11 @@ def geometric_verify_pairs(
                     axis=-1)                              # (Np,H)
     best = jnp.argmax(cnt_h, axis=1)                      # (Np,)
     Fb = jnp.take_along_axis(F, best[:, None, None, None], axis=1)[:, 0]
+    # enforce essential structure on the raw winner too: an unconstrained F
+    # has extra DOF and over-admits matches on degenerate low-parallax /
+    # planar pairs, and these counts feed seed ranking and track edges —
+    # both candidate inlier sets must satisfy the calibrated model
+    Fb = epipolar.enforce_essential_batch(Fb)
     eb = epipolar.sampson_error_batch(Fb, x1, x2)         # (Np,K)
     w_in = ((eb < threshold) & valid).astype(x1.dtype)
     # weighted LS refit on the winner's inliers + essential structure

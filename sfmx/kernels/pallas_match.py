@@ -36,10 +36,10 @@ def _match_kernel(a_ref, b_ref, s1_ref, i1_ref, s2_ref,
         s2_sc[:] = jnp.full_like(s2_sc, NEG)
         i1_sc[:] = jnp.zeros_like(i1_sc)
 
-    # refs are f32; cast to bf16 IN-kernel — this Mosaic build rejects
-    # matmuls on operands DMA'd in as bf16 blocks ("Bad lhs type")
-    a = a_ref[:].astype(jnp.bfloat16)  # (TA, D)
-    b = b_ref[:].astype(jnp.bfloat16)  # (TB, D)
+    # refs ARE bf16: the host casts descriptors before pallas_call (halves
+    # the streaming DMA traffic; the MXU dot rounds to bf16 regardless)
+    a = a_ref[:]  # (TA, D) bf16
+    b = b_ref[:]  # (TB, D) bf16
     # explicit precision: the library default `highest` fails Mosaic for
     # bf16 operands ("Bad lhs type"); DEFAULT = one-pass bf16 MXU matmul
     sim = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
