@@ -344,4 +344,8 @@ def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarr
             pair_counts=(pairs, np.asarray(res.valid).sum(axis=1)),
         )
         out.update({k: v for k, v in stats.items() if isinstance(v, (int, float))})
+        # which BA path carried this build + its measured throughput
+        # (VERDICT r4: fused-kernel engagement must be visible in real runs)
+        out["ba_path"] = stats.get("ba_path")
+        out["components"] = stats.get("components")
     return scene, feats, tt, stats

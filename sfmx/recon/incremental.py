@@ -19,6 +19,7 @@ TPU design (not a translation):
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from functools import partial
 
 import jax
@@ -46,6 +47,18 @@ class ReconConfig:
     huber_px: float = 4.0
     min_track_views: int = 2
     batch_resection: bool = True   # resect ALL eligible cams per round (scalable)
+    # Multi-component reconstruction (VERDICT r4 item 1 / BASELINE r4):
+    # single-seed incremental growth is seed-sensitive on long loop-free
+    # walks — a bad seed strands a frontier (measured 783-997/1024 corridor
+    # frames from identical match data).  When coverage stalls below
+    # coverage_target, a SECONDARY component is seeded among the
+    # unregistered cameras (plus a bridge of covisible registered ones),
+    # grown with the same machinery, and fused into the primary via the
+    # VERIFIED shared-track/shared-camera sim3 (recon/register.py) — loud
+    # failure, never a blind stitch.
+    max_components: int = 3
+    coverage_target: float = 0.96
+    bridge_cams: int = 48
     refine_intrinsics: tuple | None = None  # e.g. ("f","k1"): joint final BA
     # final-BA fault recovery (SURVEY §5.3): when set, the final global BA
     # runs in checkpointed chunks and resumes from ckpt after a crash
@@ -248,7 +261,7 @@ def reconstruct(
     def obs_alive_mask():
         return registered[obs_cam] & X_alive[obs_pt] & ~obs_pruned
 
-    # ---- initial pair -----------------------------------------------------
+    # ---- initial-pair candidates ------------------------------------------
     # Candidates come from DIRECT per-pair match counts when the pipeline
     # provides them (pair_counts): chained track covisibility is poisoned by
     # drift on long chains — a pair that never directly matched can share
@@ -258,16 +271,8 @@ def reconstruct(
     # anti-correlates with baseline, and near-zero-baseline neighbors fail
     # the parallax gate) with the strongest pairs.
     if pair_counts is not None:
-        prs, pcnt = pair_counts
-        prs, pcnt = np.asarray(prs), np.asarray(pcnt)
-        selp = np.flatnonzero(pcnt >= cfg.min_init_inliers)
-        selp = selp[np.argsort(-pcnt[selp])]
-        if len(selp) > 48:
-            # quantile-sample the whole count range: count anti-correlates
-            # with baseline, and taking only the top-k would yield 48
-            # near-zero-baseline neighbors that all fail the parallax gate
-            selp = selp[np.round(np.linspace(0, len(selp) - 1, 48)).astype(int)]
-        pair_order = [(int(a), int(b)) for a, b in prs[selp]]
+        prs_all, pcnt_all = pair_counts
+        prs_all, pcnt_all = np.asarray(prs_all), np.asarray(pcnt_all)
     else:
         cov = np.zeros((C, C), np.int32)
         for s, e in zip(starts, ends):
@@ -278,12 +283,25 @@ def reconstruct(
                     cov[a, b] += 1
                     cov[b, a] += 1
         au, bu = np.triu_indices(C, k=1)
-        cv = cov[au, bu]
-        sel = np.flatnonzero(cv >= cfg.min_init_inliers)
-        sel = sel[np.argsort(-cv[sel])]
-        if len(sel) > 48:
-            sel = sel[np.round(np.linspace(0, len(sel) - 1, 48)).astype(int)]
-        pair_order = [(int(a), int(b)) for a, b in zip(au[sel], bu[sel])]
+        prs_all = np.stack([au, bu], axis=1)
+        pcnt_all = cov[au, bu]
+
+    def make_pair_order(allowed, focus=None):
+        """Seed-candidate pairs restricted to ``allowed`` cameras (and, if
+        given, touching at least one ``focus`` camera — used to aim a
+        secondary component's seed into the uncovered region)."""
+        keep = allowed[prs_all[:, 0]] & allowed[prs_all[:, 1]]
+        if focus is not None:
+            keep &= focus[prs_all[:, 0]] | focus[prs_all[:, 1]]
+        prs, pcnt = prs_all[keep], pcnt_all[keep]
+        selp = np.flatnonzero(pcnt >= cfg.min_init_inliers)
+        selp = selp[np.argsort(-pcnt[selp])]
+        if len(selp) > 48:
+            # quantile-sample the whole count range: count anti-correlates
+            # with baseline, and taking only the top-k would yield 48
+            # near-zero-baseline neighbors that all fail the parallax gate
+            selp = selp[np.round(np.linspace(0, len(selp) - 1, 48)).astype(int)]
+        return [(int(a), int(b)) for a, b in prs[selp]]
 
     def refresh_slots():
         """Re-point dead tracks' V slots at a spread of their registered
@@ -330,6 +348,9 @@ def reconstruct(
         if cfg.dense_ba == "off" or (cfg.dense_ba == "auto" and (
                 jax.default_backend() != "tpu"
                 or len(obs_pt) < cfg.dense_ba_min_obs)):
+            stats["ba_path"] = {"mode": "planes",
+                                "why": ("disabled" if cfg.dense_ba == "off"
+                                        else "cpu-or-small")}
             return {}
         from ..kernels import segsum
 
@@ -343,17 +364,26 @@ def reconstruct(
         if tp is None:
             tp = 64
             if np.maximum(lens - tp, 0).sum() > 0.5 * O:
-                return {}  # overflow-majority scene: planes path wins
+                # overflow-majority scene: planes path wins
+                stats["ba_path"] = {"mode": "planes",
+                                    "why": "overflow-majority at tp=64"}
+                return {}
         ov = int(np.maximum(lens - tp, 0).sum())
         ov_cap = 0 if ov == 0 else max(128, 1 << (ov - 1).bit_length())
         order = np.argsort(obs_pt, kind="stable")
         wc = segsum.compute_cam_window(obs_pt[order], obs_cam[order],
                                        T, C, tp)
         wc = 128 * (1 << max(0, (wc // 128 - 1).bit_length()))
+        # VERDICT r4 weak item: nothing recorded WHICH BA path real builds
+        # ran — log the chosen layout so BASELINE rows can prove engagement
+        stats["ba_path"] = {"mode": "dense", "tp": tp, "ov_cap": ov_cap,
+                            "cam_window": wc, "obs": O,
+                            "overflow_frac": round(ov / max(O, 1), 3)}
         return dict(tp_cap=tp, dense_cg=True, cam_window=wc, ov_cap=ov_cap)
 
     def run_ba(iters, ckpt_path=None):
         nonlocal cam_R, cam_t, X
+        t_ba = _time.time()
         alive = obs_alive_mask()
         w = alive.astype(np.float32)
         fixed = np.zeros(C, bool)
@@ -383,6 +413,12 @@ def reconstruct(
         cam_t = np.array(t2)
         X = np.array(X2)
         stats["ba_costs"].append([float(costs[0]), float(costs[-1])])
+        # cumulative real-build BA throughput (proves which path carried it)
+        wall = _time.time() - t_ba
+        stats["ba_total_s"] = round(stats.get("ba_total_s", 0.0) + wall, 2)
+        stats["ba_total_iters"] = stats.get("ba_total_iters", 0) + iters
+        stats["ba_iters_per_s"] = round(
+            stats["ba_total_iters"] / max(stats["ba_total_s"], 1e-9), 2)
         # prune observations with large error; kill starved points
         err2 = np.asarray(_reproj_err2_norm(
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
@@ -393,9 +429,17 @@ def reconstruct(
         obs_count = np.bincount(obs_pt[alive], minlength=T)
         X_alive[obs_count < cfg.min_track_views] = False
 
-    stats = {"ransac_inliers": [], "ba_costs": []}
-    best = None  # (med_px, (a, b), state snapshot) of the best-fitting seed
-    if pair_order:
+    stats = {"ransac_inliers": [], "ba_costs": [], "components": []}
+
+    def try_seed(pair_order):
+        """Score all candidate pairs, trial-BA the best few, keep the best-
+        fitting seed.  Returns (ok, diag); on ok the state holds the seeded
+        two-view reconstruction."""
+        nonlocal cam_R, cam_t, X, key
+        best = None  # (med_px, (a, b), state snapshot)
+        cntc = parc = None
+        if not pair_order:
+            return False, "no candidates proposed"
         # score ALL candidates in one vmapped device call, then seed from the
         # best: gate = enough E-inliers + median triangulation angle in a sane
         # band; rank passing candidates by inlier count
@@ -467,22 +511,18 @@ def reconstruct(
             registered[a] = registered[b] = False
             X_alive[:] = False
             obs_pruned[:] = pruned_snap
-    if best is None:
-        if pair_order:
+        if best is None:
             diag = (f"{len(pair_order)} candidates: "
                     f"{int((cntc >= cfg.min_init_inliers).sum())} passed the "
                     f"inlier gate (>= {cfg.min_init_inliers}; max {int(cntc.max())}), "
                     f"{int(passing.sum())} also passed the parallax band "
                     f"({cfg.min_parallax_deg}-60 deg; median "
                     f"{float(np.median(parc)):.2f} deg, max {float(parc.max()):.2f})")
-        else:
-            diag = "no candidates proposed"
-        raise ReconError(
-            f"no valid initial pair (all candidates failed to seed): {diag}")
-    med_px, (a, b), (cam_R, cam_t, X, X_alive, obs_pruned) = best
-    registered[a] = registered[b] = True
-    stats["init_pair"] = (a, b)
-    stats["init_med_px"] = med_px
+            return False, diag
+        med_px, (a, b), (cam_R, cam_t, X, X_alive[:], obs_pruned[:]) = best
+        registered[a] = registered[b] = True
+        stats.setdefault("init_pairs", []).append((a, b, round(med_px, 4)))
+        return True, None
 
     # ---- incremental loop --------------------------------------------------
     # Round-based: every round resects either the single best camera (the
@@ -490,85 +530,201 @@ def reconstruct(
     # vmapped device call (batch_resection — the scalable default; OpenMVG
     # registers one view per loop, which serializes thousands of device
     # round-trips at config-4/5 scale).
-    n_since_ba = 0
+    failed = np.zeros(C, bool)
     points_at_failure = np.full(C, -1.0)
-    while True:
-        n_alive = float(X_alive.sum())
-        counts = np.array([
-            0 if registered[c] else int(X_alive[cam_tracks[c]].sum())
-            for c in range(C)
-        ])
-        # Failed cameras become eligible again once the structure THEY see
-        # has grown 25% (or by 15 points) since their failure.  The retry
-        # condition must be per-camera: a frontier expanding into a new
-        # region (e.g. the first room of a corridor when the seed landed
-        # mid-corridor) adds points slowly relative to the whole map, so a
-        # global-growth trigger never fires and the frontier's failed
-        # cameras stay dead forever (measured: 278 of 1024 corridor frames
-        # permanently unregistered at the trajectory's ends).
-        retry = failed & (points_at_failure >= 0) & (
-            (counts > 1.25 * points_at_failure)
-            | (counts > points_at_failure + 15))
-        failed[retry] = False
-        counts[failed] = 0
-        eligible = np.where(counts >= cfg.min_resection_inliers)[0]
-        if len(eligible) == 0:
+
+    def incremental_loop(allowed):
+        nonlocal key
+        n_since_ba = 0
+        while True:
+            counts = np.array([
+                0 if (registered[c] or not allowed[c])
+                else int(X_alive[cam_tracks[c]].sum())
+                for c in range(C)
+            ])
+            # Failed cameras become eligible again once the structure THEY
+            # see has grown 25% (or by 15 points) since their failure.  The
+            # retry condition must be per-camera: a frontier expanding into
+            # a new region (e.g. the first room of a corridor when the seed
+            # landed mid-corridor) adds points slowly relative to the whole
+            # map, so a global-growth trigger never fires and the frontier's
+            # failed cameras stay dead forever (measured: 278 of 1024
+            # corridor frames permanently unregistered at the ends).
+            retry = failed & (points_at_failure >= 0) & (
+                (counts > 1.25 * points_at_failure)
+                | (counts > points_at_failure + 15))
+            failed[retry] = False
+            counts[failed] = 0
+            eligible = np.where(counts >= cfg.min_resection_inliers)[0]
+            if len(eligible) == 0:
+                break
+            if cfg.batch_resection:
+                # take only well-supported cameras each round: weakly-covered
+                # views wait for BA-consolidated structure (keeps batch mode at
+                # sequential-mode accuracy)
+                gate = max(cfg.min_resection_inliers, 0.5 * counts.max())
+                eligible = eligible[counts[eligible] >= gate]
+            else:
+                eligible = eligible[np.argsort(counts[eligible])[::-1][:1]]
+    
+            nb = len(eligible)
+            xs = np.zeros((nb, K, 2), np.float32)
+            Xs = np.zeros((nb, K, 3), np.float32)
+            valid = np.zeros((nb, K), bool)
+            sels = []
+            for bi, c in enumerate(eligible):
+                sel = X_alive[cam_tracks[c]]
+                n = min(int(sel.sum()), K)
+                feats_sel = cam_feats[c][sel][:n]
+                tracks_sel = cam_tracks[c][sel][:n]
+                xs[bi, :n] = xn_feat_np[c, feats_sel]
+                Xs[bi, :n] = X[tracks_sel]
+                valid[bi, :n] = True
+                sels.append(tracks_sel)
+            key, sk = jax.random.split(key)
+            keys = jax.random.split(sk, nb)
+            Rb, tb, inlb, cntb = _resect_batch(
+                keys, jnp.asarray(xs), jnp.asarray(Xs), jnp.asarray(valid),
+                thresh_n, cfg.ransac_hypotheses,
+            )
+            Rb, tb = np.asarray(Rb), np.asarray(tb)
+            inlb, cntb = np.asarray(inlb), np.asarray(cntb)
+            for bi, c in enumerate(eligible):
+                if int(cntb[bi]) < cfg.min_resection_inliers:
+                    failed[c] = True
+                    # per-camera: the alive-structure count THIS camera saw at
+                    # failure (retry fires when its own coverage grows)
+                    points_at_failure[c] = counts[c]
+                    continue
+                cam_R[c] = Rb[bi]
+                cam_t[c] = tb[bi]
+                registered[c] = True
+                stats["ransac_inliers"].append(int(cntb[bi]))
+                tracks_sel = sels[bi]
+                bad_tracks = tracks_sel[~inlb[bi][: len(tracks_sel)]]
+                if len(bad_tracks):
+                    bad = (obs_cam == c) & np.isin(obs_pt, bad_tracks)
+                    obs_pruned[bad] = True
+    
+            run_triangulation()
+            n_since_ba += 1
+            if n_since_ba >= cfg.ba_every or cfg.batch_resection:
+                run_ba(cfg.ba_iters)
+                n_since_ba = 0
+            if callbacks:
+                callbacks(registered.copy(), X_alive.copy())
+
+    # ---- primary component -------------------------------------------------
+    all_cams = np.ones(C, bool)
+    ok, seed_diag = try_seed(make_pair_order(all_cams))
+    if not ok:
+        raise ReconError(
+            f"no valid initial pair (all candidates failed to seed): {seed_diag}")
+    stats["init_pair"] = stats["init_pairs"][0][:2]
+    stats["init_med_px"] = stats["init_pairs"][0][2]
+    incremental_loop(all_cams)
+    stats["components"].append(
+        {"component": 0, "registered": int(registered.sum())})
+
+    # ---- secondary components: multi-seed coverage recovery ----------------
+    # A stalled frontier (seed-sensitive coverage, BASELINE r4) is recovered
+    # by seeding a NEW component among the unregistered cameras + a bridge
+    # of covisible registered ones, growing it with the same machinery, and
+    # fusing it into the primary through the VERIFIED shared-track /
+    # shared-camera similarity.  Registration failure = component dropped
+    # (diagnostics recorded), never a blind stitch.
+    from .register import RegistrationError, register_points_verified
+
+    has_tracks = np.array([len(cam_tracks[c]) > 0 for c in range(C)])
+    n_possible = max(int(has_tracks.sum()), 1)
+    comp = 1
+    while (comp < cfg.max_components
+           and registered.sum() < cfg.coverage_target * n_possible):
+        U = has_tracks & ~registered
+        if U.sum() < max(4, cfg.min_init_inliers // 4):
             break
-        if cfg.batch_resection:
-            # take only well-supported cameras each round: weakly-covered
-            # views wait for BA-consolidated structure (keeps batch mode at
-            # sequential-mode accuracy)
-            gate = max(cfg.min_resection_inliers, 0.5 * counts.max())
-            eligible = eligible[counts[eligible] >= gate]
-        else:
-            eligible = eligible[np.argsort(counts[eligible])[::-1][:1]]
-
-        nb = len(eligible)
-        xs = np.zeros((nb, K, 2), np.float32)
-        Xs = np.zeros((nb, K, 3), np.float32)
-        valid = np.zeros((nb, K), bool)
-        sels = []
-        for bi, c in enumerate(eligible):
-            sel = X_alive[cam_tracks[c]]
-            n = min(int(sel.sum()), K)
-            feats_sel = cam_feats[c][sel][:n]
-            tracks_sel = cam_tracks[c][sel][:n]
-            xs[bi, :n] = xn_feat_np[c, feats_sel]
-            Xs[bi, :n] = X[tracks_sel]
-            valid[bi, :n] = True
-            sels.append(tracks_sel)
-        key, sk = jax.random.split(key)
-        keys = jax.random.split(sk, nb)
-        Rb, tb, inlb, cntb = _resect_batch(
-            keys, jnp.asarray(xs), jnp.asarray(Xs), jnp.asarray(valid),
-            thresh_n, cfg.ransac_hypotheses,
-        )
-        Rb, tb = np.asarray(Rb), np.asarray(tb)
-        inlb, cntb = np.asarray(inlb), np.asarray(cntb)
-        for bi, c in enumerate(eligible):
-            if int(cntb[bi]) < cfg.min_resection_inliers:
-                failed[c] = True
-                # per-camera: the alive-structure count THIS camera saw at
-                # failure (retry fires when its own coverage grows)
-                points_at_failure[c] = counts[c]
-                continue
-            cam_R[c] = Rb[bi]
-            cam_t[c] = tb[bi]
-            registered[c] = True
-            stats["ransac_inliers"].append(int(cntb[bi]))
-            tracks_sel = sels[bi]
-            bad_tracks = tracks_sel[~inlb[bi][: len(tracks_sel)]]
-            if len(bad_tracks):
-                bad = (obs_cam == c) & np.isin(obs_pt, bad_tracks)
-                obs_pruned[bad] = True
-
+        snap = (registered.copy(), failed.copy(), points_at_failure.copy(),
+                cam_R.copy(), cam_t.copy(), X.copy(), X_alive.copy(),
+                obs_pruned.copy())
+        # bridge: the registered cameras with the strongest direct matches
+        # into the uncovered set (they give the fused component shared
+        # structure to register against)
+        bscore = np.zeros(C, np.int64)
+        in_u_a = U[prs_all[:, 0]]
+        in_u_b = U[prs_all[:, 1]]
+        reg_a = registered[prs_all[:, 0]]
+        reg_b = registered[prs_all[:, 1]]
+        np.add.at(bscore, prs_all[in_u_a & reg_b, 1],
+                  pcnt_all[in_u_a & reg_b])
+        np.add.at(bscore, prs_all[in_u_b & reg_a, 0],
+                  pcnt_all[in_u_b & reg_a])
+        bridge = np.zeros(C, bool)
+        top_b = np.argsort(-bscore)[:cfg.bridge_cams]
+        bridge[top_b] = bscore[top_b] > 0
+        allowed2 = U | bridge
+        # fresh state for the secondary component
+        registered[:] = False
+        failed[:] = False
+        points_at_failure[:] = -1.0
+        X_alive[:] = False
+        obs_pruned[:] = False
+        ok2, diag2 = try_seed(make_pair_order(allowed2, focus=U))
+        if ok2:
+            incremental_loop(allowed2)
+        sec = (registered.copy(), cam_R.copy(), cam_t.copy(), X.copy(),
+               X_alive.copy())
+        (registered[:], failed[:], points_at_failure[:], cam_R[:], cam_t[:],
+         X[:], X_alive[:], obs_pruned[:]) = snap  # restore primary
+        reg_sec, camR_sec, camt_sec, X_sec, Xalive_sec = sec
+        new_cams = reg_sec & ~registered
+        if not ok2 or int(new_cams.sum()) == 0:
+            stats["components"].append(
+                {"component": comp,
+                 "fail": diag2 or "secondary registered no new cameras"})
+            break
+        shared_t = X_alive & Xalive_sec
+        shared_c = registered & reg_sec
+        Pa_l = [X[shared_t]]
+        Pb_l = [X_sec[shared_t]]
+        if shared_c.any():
+            Pa_l.append(-np.einsum("cji,cj->ci", cam_R[shared_c],
+                                   cam_t[shared_c]))
+            Pb_l.append(-np.einsum("cji,cj->ci", camR_sec[shared_c],
+                                   camt_sec[shared_c]))
+        try:
+            key, sk = jax.random.split(key)
+            reg = register_points_verified(
+                np.concatenate(Pa_l), np.concatenate(Pb_l), key=sk,
+                min_inliers=max(8, cfg.min_init_inliers // 3))
+        except RegistrationError as e:
+            stats["components"].append(
+                {"component": comp, "new_cams": int(new_cams.sum()),
+                 "fail": f"sim3 verification: {e}"})
+            break
+        # fuse: secondary poses/points into the primary frame (B->A world
+        # similarity: R' = Rc R^T, t' = s tc - R' t, X' = s R X + t)
+        X2 = reg.s * (X_sec @ reg.R.T) + reg.t
+        R2 = np.einsum("cij,kj->cik", camR_sec, reg.R)
+        t2 = reg.s * camt_sec - np.einsum("cij,j->ci", R2, reg.t)
+        cam_R[new_cams] = R2[new_cams]
+        cam_t[new_cams] = t2[new_cams]
+        registered[new_cams] = True
+        new_pts = Xalive_sec & ~X_alive
+        X[new_pts] = X2[new_pts]
+        X_alive[new_pts] = True
+        stats["components"].append(
+            {"component": comp, "new_cams": int(new_cams.sum()),
+             "new_points": int(new_pts.sum()),
+             "reg_inliers": int(reg.inliers.sum()),
+             "shared_tracks": int(shared_t.sum()),
+             "shared_cams": int(shared_c.sum())})
+        failed[:] = False
+        points_at_failure[:] = -1.0
         run_triangulation()
-        n_since_ba += 1
-        if n_since_ba >= cfg.ba_every or cfg.batch_resection:
-            run_ba(cfg.ba_iters)
-            n_since_ba = 0
-        if callbacks:
-            callbacks(registered.copy(), X_alive.copy())
+        run_ba(cfg.ba_iters)
+        # fused structure may unlock previously stalled cameras everywhere
+        incremental_loop(all_cams)
+        comp += 1
 
     run_ba(cfg.final_ba_iters, ckpt_path=cfg.final_ba_ckpt)
 
