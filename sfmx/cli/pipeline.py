@@ -348,4 +348,5 @@ def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarr
         # (VERDICT r4: fused-kernel engagement must be visible in real runs)
         out["ba_path"] = stats.get("ba_path")
         out["components"] = stats.get("components")
+        out["phase_s"] = stats.get("phase_s")
     return scene, feats, tt, stats
