@@ -43,6 +43,10 @@ p.add_argument("--scene", default="room", choices=["room", "corridor"],
                help="rendered environment: single box room, or a 4-room "
                     "corridor (distributed structure -> real partition "
                     "locality for the config-4 block-BA proof)")
+p.add_argument("--seed", type=int, default=0,
+               help="reconstruction PRNG seed (seed-robustness proofs)")
+p.add_argument("--rooms", type=int, default=4,
+               help="corridor room count (config-4 5k-frame scale uses more)")
 args = p.parse_args()
 
 import jax
@@ -88,7 +92,7 @@ def config2_scale(frames: int):
     if args.scene == "corridor":
         from examples.room import Corridor, corridor_walk_poses, render_corridor
 
-        cor = Corridor(n_rooms=4, seed=7)
+        cor = Corridor(n_rooms=args.rooms, seed=7)
         poses = corridor_walk_poses(cor, frames)
         render = lambda R, eye: render_corridor(cor, R, eye, 320, 240, 280.0)
     else:
@@ -123,11 +127,13 @@ def config2_scale(frames: int):
             "-D", f"match.window={window}",
             "-D", "features.max_keypoints=512",
             "-D", "resize_to=320,240", "-D", "focal_factor=0.875",
+            "-D", f"recon.seed={args.seed}",
         ])
     finally:
         LOGGER._stream = old_stream
     wall = time.time() - t0
     stage_s = {}
+    recon_detail = {}
     for line in buf.getvalue().splitlines():
         try:
             rec = json.loads(line)
@@ -136,6 +142,11 @@ def config2_scale(frames: int):
         if "wall_s" in rec:
             stage_s[rec["stage"]] = round(
                 stage_s.get(rec["stage"], 0.0) + rec["wall_s"], 1)
+        if rec.get("stage") == "reconstruct":
+            recon_detail = {k: rec.get(k) for k in
+                            ("ba_path", "components", "phase_s",
+                             "ba_iters_per_s", "ba_total_s", "n_rounds")
+                            if rec.get(k) is not None}
 
     scene = load_scene(str(tmp / "map"))
     ref = np.stack([eye for (_, _, eye) in poses]).astype(np.float32)
@@ -185,11 +196,12 @@ def config2_scale(frames: int):
         recall8 = f"error: {e}"
 
     return {"config": "2+", "scene": args.scene, "n_frames": frames,
-            "n_registered": n_reg,
+            "seed": args.seed, "n_registered": n_reg,
             "ate_m": round(float(rmse), 4),
             "ate_gate_m": round(ate_gate, 3),
             "path_len_m": round(path_len, 1), "wall_s": round(wall, 1),
-            "stage_s": stage_s, "recall_at_8": recall8, "pass": bool(ok),
+            "stage_s": stage_s, "recon_detail": recon_detail,
+            "recall_at_8": recall8, "pass": bool(ok),
             "map_path": str(tmp / "map")}
 
 

@@ -298,6 +298,61 @@ def cmd_bench(args):
     sys.exit(subprocess.call([sys.executable, "bench.py"]))
 
 
+def cmd_bundle(args):
+    """Package a deployable artifact: map + serving map + the warm XLA
+    compile cache (VERDICT r4 item 9).
+
+    The persistent compile cache is location-independent, so shipping it
+    with the map turns a first-ever deploy's multi-minute remote-compile
+    cost into a cache hit: extract with ``sfmx unbundle`` and point
+    SFMX_JAX_CACHE at the extracted ``jax_cache/``.
+    """
+    import os
+    import tarfile
+
+    cache = args.cache or os.environ.get("SFMX_JAX_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "sfmx", "jax_cache")
+    base = os.path.basename(args.map.rstrip("/"))
+    n_map = 0
+    with tarfile.open(args.output, "w:gz") as tar:
+        for suffix in ("", ".lmap", ".feats.npz"):
+            pth = args.map.rstrip("/") + suffix
+            if os.path.exists(pth):
+                tar.add(pth, arcname="map/" + base + suffix)
+                n_map += 1
+        if n_map == 0:
+            raise SystemExit(f"no map artifacts found at {args.map}")
+        n_cache = 0
+        if os.path.isdir(cache):
+            tar.add(cache, arcname="jax_cache")
+            n_cache = len(os.listdir(cache))
+        elif not args.no_cache:
+            print(f"warning: compile cache {cache} not found; bundle ships "
+                  "without it (cold deploys will pay full compiles)",
+                  file=sys.stderr)
+    print(json.dumps({
+        "output": args.output, "map": base, "map_artifacts": n_map,
+        "cached_programs": n_cache,
+        "size_mb": round(os.path.getsize(args.output) / 1e6, 1)}))
+
+
+def cmd_unbundle(args):
+    import os
+    import tarfile
+
+    os.makedirs(args.dest, exist_ok=True)
+    with tarfile.open(args.bundle, "r:gz") as tar:
+        tar.extractall(args.dest, filter="data")
+    maps = sorted(
+        p for p in os.listdir(os.path.join(args.dest, "map"))
+        if not (p.endswith(".lmap") or p.endswith(".npz")))
+    cache = os.path.join(args.dest, "jax_cache")
+    print(json.dumps({
+        "maps": [os.path.join(args.dest, "map", m) for m in maps],
+        "cache": cache if os.path.isdir(cache) else None,
+        "env": f"SFMX_JAX_CACHE={cache}"}))
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache for every CLI entry point.
 
@@ -392,6 +447,21 @@ def main(argv=None):
 
     bn = sub.add_parser("bench", help="run the headline benchmark")
     bn.set_defaults(fn=cmd_bench)
+
+    bd = sub.add_parser("bundle",
+                        help="package map + compile cache for cold deploy")
+    bd.add_argument("map", help="map path (as given to build-map -o)")
+    bd.add_argument("-o", "--output", required=True, help="bundle .tar.gz")
+    bd.add_argument("--cache", default=None,
+                    help="compile-cache dir (default: SFMX_JAX_CACHE)")
+    bd.add_argument("--no-cache", action="store_true",
+                    help="silence the missing-cache warning")
+    bd.set_defaults(fn=cmd_bundle)
+
+    ub = sub.add_parser("unbundle", help="extract a deploy bundle")
+    ub.add_argument("bundle")
+    ub.add_argument("-d", "--dest", required=True)
+    ub.set_defaults(fn=cmd_unbundle)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -111,3 +111,37 @@ def test_cli_georeference(image_dirs, tmp_path, capsys):
     a2 = np.asarray(scene2.cam_alive)
     err = np.linalg.norm(centers[a2] - gt[a2[:8].nonzero()[0]], axis=1)
     assert np.median(err) < 0.15
+
+
+def test_cli_bundle_unbundle(tmp_path, capsys):
+    """Deploy bundle: map artifacts + compile cache roundtrip (r4 item 9)."""
+    import os
+
+    m = tmp_path / "mymap"
+    m.mkdir()
+    (m / "arrays.npz").write_bytes(b"x" * 64)
+    (tmp_path / "mymap.feats.npz").write_bytes(b"y" * 64)
+    lm = tmp_path / "mymap.lmap"
+    lm.mkdir()
+    (lm / "vocab.npy").write_bytes(b"z" * 64)
+    cache = tmp_path / "jc"
+    cache.mkdir()
+    (cache / "prog0").write_bytes(b"c" * 64)
+    (cache / "prog1").write_bytes(b"c" * 64)
+
+    out = tmp_path / "deploy.tar.gz"
+    main(["bundle", str(m), "-o", str(out), "--cache", str(cache)])
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["map_artifacts"] == 3 and rec["cached_programs"] == 2
+    assert out.exists()
+
+    dest = tmp_path / "deployed"
+    main(["unbundle", str(out), "-d", str(dest)])
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["cache"] and os.path.isdir(rec["cache"])
+    assert len(os.listdir(rec["cache"])) == 2
+    assert len(rec["maps"]) == 1
+    mp = rec["maps"][0]
+    assert os.path.exists(os.path.join(mp, "arrays.npz"))
+    assert os.path.exists(mp + ".feats.npz")
+    assert os.path.exists(os.path.join(mp + ".lmap", "vocab.npy"))
