@@ -189,11 +189,14 @@ def config2_scale(frames: int):
                                                lmap.vocab))
         kfc_world = np.asarray(umeyama.apply_sim3(s_al, R_al, t_al,
                                                   lmap.kf_centers))
+        q_eyes_np = np.stack(q_eyes).astype(np.float32)
         recall8 = round(retrieve.recall_at_k(
-            lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg,
-            np.stack(q_eyes).astype(np.float32), k=8), 3)
+            lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg, q_eyes_np, k=8), 3)
+        strict8 = round(retrieve.strict_recall_at_k(
+            lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg, q_eyes_np, k=8), 3)
     except Exception as e:  # keep the scale report even if recall fails
         recall8 = f"error: {e}"
+        strict8 = None
 
     return {"config": "2+", "scene": args.scene, "n_frames": frames,
             "seed": args.seed, "n_registered": n_reg,
@@ -201,8 +204,8 @@ def config2_scale(frames: int):
             "ate_gate_m": round(ate_gate, 3),
             "path_len_m": round(path_len, 1), "wall_s": round(wall, 1),
             "stage_s": stage_s, "recon_detail": recon_detail,
-            "recall_at_8": recall8, "pass": bool(ok),
-            "map_path": str(tmp / "map")}
+            "recall_at_8": recall8, "strict_recall_at_8": strict8,
+            "pass": bool(ok), "map_path": str(tmp / "map")}
 
 
 def config2():
@@ -443,9 +446,11 @@ def config5_serve(fps: int):
     # gt keyframe centers in WORLD frame for the distance ground truth
     kfc_world = np.asarray(umeyama.apply_sim3(
         s_al, R_al, t_al, lmap.kf_centers))
+    q_eyes_np = np.stack([poses[qi][2] for qi in q_ids])
     recall8 = retrieve.recall_at_k(
-        lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg,
-        np.stack([poses[qi][2] for qi in q_ids]), k=8)
+        lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg, q_eyes_np, k=8)
+    strict8 = retrieve.strict_recall_at_k(
+        lmap.kf_gdesc, kfc_world, lmap.kf_alive, qg, q_eyes_np, k=8)
 
     # serve with 4 map shards; POST the real images
     svc = LocalizationService(batch_window_ms=10.0, max_batch=8)
@@ -496,6 +501,7 @@ def config5_serve(fps: int):
             "joint_ba_cost": mstats.get("joint_ba_cost"),
             "merged_ate_m": round(float(ate), 4),
             "recall_at_8": round(recall8, 3),
+            "strict_recall_at_8": round(strict8, 3),
             "query_err_median_m": round(float(np.median(errs)), 4),
             "queries_ok": f"{n_ok}/{len(errs)}",
             "latency_p95_ms": st.get("p95_latency_ms"),

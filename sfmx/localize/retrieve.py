@@ -121,3 +121,29 @@ def recall_at_k(kf_gdesc: jax.Array, kf_centers: jax.Array,
     hit = (d_top <= np.asarray(radius).reshape(-1, 1)
            if np.ndim(radius) else d_top <= radius).any(axis=1)
     return float(hit.mean())
+
+
+def strict_recall_at_k(kf_gdesc: jax.Array, kf_centers: jax.Array,
+                       kf_alive: jax.Array, q_gdesc: jax.Array,
+                       q_centers: jax.Array, k: int = 8) -> float:
+    """STRICT recall (VERDICT r4 item 7): fraction of queries whose single
+    spatially-NEAREST alive keyframe appears in the retrieval top-k.
+
+    On mm-spaced walkthroughs this is near-chance by construction (hundreds
+    of keyframes are visually identical) — report it alongside
+    :func:`recall_at_k` anyway: on visually-diverse maps (multi-room
+    corridors, config-5 city blocks) rooms ARE distinguishable and a poor
+    strict number exposes an under-capacity vocabulary.
+    """
+    kf_g = np.asarray(kf_gdesc)
+    alive = np.asarray(kf_alive)
+    kfc = np.asarray(kf_centers)
+    qc = np.asarray(q_centers)
+    scores = np.asarray(q_gdesc) @ kf_g.T
+    scores[:, ~alive] = -np.inf
+    d = np.sqrt(np.sum((qc[:, None] - kfc[None]) ** 2, -1))
+    d[:, ~alive] = np.inf
+    nearest = d.argmin(axis=1)                           # (Q,)
+    kk = min(k, int(alive.sum()))
+    topk = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    return float((topk == nearest[:, None]).any(axis=1).mean())

@@ -36,6 +36,7 @@ from .tracks import TrackTable
 class ReconConfig:
     max_track_views: int = 8          # V cap for n-view triangulation
     ransac_hypotheses: int = 512
+    resection_solver: str = "dlt6"    # dlt6 | p3p (3-pt, 4 candidates)
     px_thresh: float = 4.0            # inlier threshold (pixels)
     min_parallax_deg: float = 1.5
     min_init_inliers: int = 30
@@ -106,17 +107,19 @@ def _init_pair_batch(keys, xn_a, xn_b, valid, thresh, k_hyp: int):
     )(keys, xn_a, xn_b, valid)
 
 
-@partial(jax.jit, static_argnames=("k_hyp",))
-def _resect_batch(keys, xn_b, X_b, valid_b, thresh_n, k_hyp: int):
+@partial(jax.jit, static_argnames=("k_hyp", "solver"))
+def _resect_batch(keys, xn_b, X_b, valid_b, thresh_n, k_hyp: int,
+                  solver: str = "dlt6"):
     """vmapped resection: all eligible cameras in one device call."""
 
     def one(key, xn, X, valid):
-        return _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp)
+        return _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp, solver)
 
     return jax.vmap(one)(keys, xn_b, X_b, valid_b)
 
 
-def _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp: int):
+def _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp: int,
+                      solver: str = "dlt6"):
     """PnP-RANSAC + GN refine for one camera against its 2D-3D set."""
 
     def residual_fn(model, xn_d, X_d):
@@ -124,9 +127,16 @@ def _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp: int):
         r = pnp.pnp_residual(R, t, xn_d, X_d)
         return jnp.sum(r * r, axis=-1)
 
+    if solver == "p3p":
+        from ..solvers import p3p
+
+        min_solver, n_samp, n_cand = p3p.p3p_minimal, p3p.MIN_SAMPLE, p3p.N_CANDIDATES
+    else:
+        min_solver, n_samp, n_cand = pnp.dlt_pnp_minimal, pnp.MIN_SAMPLE, 1
     (R, t), inliers, cnt = ransac.ransac(
-        key, pnp.dlt_pnp_minimal, residual_fn, (xn, X), valid,
-        k_hypotheses=k_hyp, sample_size=pnp.MIN_SAMPLE, inlier_threshold=thresh_n,
+        key, min_solver, residual_fn, (xn, X), valid,
+        k_hypotheses=k_hyp, sample_size=n_samp, inlier_threshold=thresh_n,
+        n_candidates=n_cand,
     )
     R, t = pnp.refine_pnp_gn(R, t, xn, X, inliers)
     r = residual_fn((R, t), xn, X)
@@ -134,7 +144,7 @@ def _resect_step_impl(key, xn, X, valid, thresh_n, k_hyp: int):
     return R, t, inliers, jnp.sum(inliers.astype(jnp.int32))
 
 
-_resect_step = jax.jit(_resect_step_impl, static_argnames=("k_hyp",))
+_resect_step = jax.jit(_resect_step_impl, static_argnames=("k_hyp", "solver"))
 
 
 @jax.jit
@@ -455,9 +465,10 @@ def reconstruct(
         # best: gate = enough E-inliers + median triangulation angle in a sane
         # band; rank passing candidates by inlier count
         nc = len(pair_order)
-        xa_b = np.zeros((nc, K, 2), np.float32)
-        xb_b = np.zeros((nc, K, 2), np.float32)
-        valid_b = np.zeros((nc, K), bool)
+        nc_pad = 1 << max(0, (nc - 1).bit_length())  # one program per bucket
+        xa_b = np.zeros((nc_pad, K, 2), np.float32)
+        xb_b = np.zeros((nc_pad, K, 2), np.float32)
+        valid_b = np.zeros((nc_pad, K), bool)
         for ci, (a, b) in enumerate(pair_order):
             shared, ia, ib = np.intersect1d(cam_tracks[a], cam_tracks[b],
                                             return_indices=True)
@@ -466,12 +477,12 @@ def reconstruct(
             xb_b[ci, :n] = xn_feat_np[b, cam_feats[b][ib[:n]]]
             valid_b[ci, :n] = True
         key, sk = jax.random.split(key)
-        keys = jax.random.split(sk, nc)
+        keys = jax.random.split(sk, nc_pad)
         Rc, tc, _inlc, cntc, parc = _init_pair_batch(
             keys, jnp.asarray(xa_b), jnp.asarray(xb_b), jnp.asarray(valid_b),
             thresh_n, cfg.ransac_hypotheses)
-        Rc, tc = np.asarray(Rc), np.asarray(tc)
-        cntc, parc = np.asarray(cntc), np.asarray(parc)
+        Rc, tc = np.asarray(Rc)[:nc], np.asarray(tc)[:nc]
+        cntc, parc = np.asarray(cntc)[:nc], np.asarray(parc)[:nc]
         passing = ((cntc >= cfg.min_init_inliers)
                    & (parc > cfg.min_parallax_deg) & (parc < 60.0))
         # Seed-quality selection: a geometrically passing but degenerate
@@ -582,10 +593,14 @@ def reconstruct(
             phase_s["eligibility"] += _time.time() - t0
             t0 = _time.time()
 
+            # pow2-bucketed batch: nb varies every round, and an unpadded
+            # batch is a fresh XLA program per distinct size (25+ rounds =
+            # 25 compiles of the most expensive step in the build)
             nb = len(eligible)
-            xs = np.zeros((nb, K, 2), np.float32)
-            Xs = np.zeros((nb, K, 3), np.float32)
-            valid = np.zeros((nb, K), bool)
+            nb_pad = 1 << max(0, (nb - 1).bit_length())
+            xs = np.zeros((nb_pad, K, 2), np.float32)
+            Xs = np.zeros((nb_pad, K, 3), np.float32)
+            valid = np.zeros((nb_pad, K), bool)
             sels = []
             for bi, c in enumerate(eligible):
                 sel = X_alive[cam_tracks[c]]
@@ -599,10 +614,10 @@ def reconstruct(
             phase_s["resect_gather"] += _time.time() - t0
             t0 = _time.time()
             key, sk = jax.random.split(key)
-            keys = jax.random.split(sk, nb)
+            keys = jax.random.split(sk, nb_pad)
             Rb, tb, inlb, cntb = _resect_batch(
                 keys, jnp.asarray(xs), jnp.asarray(Xs), jnp.asarray(valid),
-                thresh_n, cfg.ransac_hypotheses,
+                thresh_n, cfg.ransac_hypotheses, cfg.resection_solver,
             )
             Rb, tb = np.asarray(Rb), np.asarray(tb)
             inlb, cntb = np.asarray(inlb), np.asarray(cntb)

@@ -105,3 +105,28 @@ def test_recall_at_k_metric():
     g_rand /= np.linalg.norm(g_rand, axis=1, keepdims=True)
     r_bad = retrieve.recall_at_k(g_rand, kfc, alive, qg, qc, k=8)
     assert r_bad < 0.7, r_bad
+
+
+def test_strict_recall_at_k_metric():
+    """strict_recall_at_k: THE nearest keyframe must be in top-k — exact
+    query descriptors hit 1.0, random ones sit near chance (k/C)."""
+    import numpy as np
+
+    from sfmx.localize import retrieve
+
+    rng = np.random.default_rng(1)
+    C, Q, D = 256, 32, 16
+    th = np.linspace(0, 2 * np.pi, C, endpoint=False)
+    kfc = np.stack([np.cos(th), np.sin(th), 0 * th], 1).astype(np.float32)
+    g = rng.standard_normal((C, D)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    qi = rng.integers(0, C, Q)
+    qc = kfc[qi] + 1e-4 * rng.standard_normal((Q, 3)).astype(np.float32)
+    r_exact = retrieve.strict_recall_at_k(g, kfc, np.ones(C, bool), g[qi],
+                                          qc, k=8)
+    assert r_exact == 1.0
+    qg_rand = rng.standard_normal((Q, D)).astype(np.float32)
+    qg_rand /= np.linalg.norm(qg_rand, axis=1, keepdims=True)
+    r_rand = retrieve.strict_recall_at_k(g, kfc, np.ones(C, bool), qg_rand,
+                                         qc, k=8)
+    assert r_rand < 0.3, r_rand
