@@ -351,7 +351,7 @@ def reconstruct(
         X_alive[newly] = True
         phase_s["triangulate"] += _time.time() - t0
 
-    def dense_ba_kwargs():
+    def dense_ba_kwargs(obs_pt_sel=None, obs_cam_sel=None):
         """Static bounds for the fused dense-layout BA (pow2-bucketed so a
         growing map re-jits O(log) times, not per call).
 
@@ -364,17 +364,19 @@ def reconstruct(
         carries the bulk of the work; only a mostly-long-track scene
         (overflow majority even at tp=64) falls back to the planes path.
         """
+        obs_pt_s = obs_pt if obs_pt_sel is None else obs_pt_sel
+        obs_cam_s = obs_cam if obs_cam_sel is None else obs_cam_sel
         if cfg.dense_ba == "off" or (cfg.dense_ba == "auto" and (
                 jax.default_backend() != "tpu"
-                or len(obs_pt) < cfg.dense_ba_min_obs)):
+                or len(obs_pt_s) < cfg.dense_ba_min_obs)):
             stats["ba_path"] = {"mode": "planes",
                                 "why": ("disabled" if cfg.dense_ba == "off"
                                         else "cpu-or-small")}
             return {}
         from ..kernels import segsum
 
-        lens = np.bincount(obs_pt, minlength=T)
-        O = len(obs_pt)
+        lens = np.bincount(obs_pt_s, minlength=T)
+        O = len(obs_pt_s)
         tp = None
         for cand in (8, 16, 32, 64):
             if np.maximum(lens - cand, 0).sum() <= 0.15 * O:
@@ -389,8 +391,8 @@ def reconstruct(
                 return {}
         ov = int(np.maximum(lens - tp, 0).sum())
         ov_cap = 0 if ov == 0 else max(128, 1 << (ov - 1).bit_length())
-        order = np.argsort(obs_pt, kind="stable")
-        wc = segsum.compute_cam_window(obs_pt[order], obs_cam[order],
+        order = np.argsort(obs_pt_s, kind="stable")
+        wc = segsum.compute_cam_window(obs_pt_s[order], obs_cam_s[order],
                                        T, C, tp)
         wc = 128 * (1 << max(0, (wc // 128 - 1).bit_length()))
         # VERDICT r4 weak item: nothing recorded WHICH BA path real builds
@@ -404,16 +406,34 @@ def reconstruct(
         nonlocal cam_R, cam_t, X
         t_ba = _time.time()
         alive = obs_alive_mask()
-        w = alive.astype(np.float32)
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            return
+        # BA sees only the ALIVE observations, pow2-bucketed (padding rows
+        # are REAL dead obs at weight 0, so the dense packer sees real
+        # track shapes).  The full table is ~3x the alive set on corridor
+        # builds AND its long never-triangulated chains pushed the overflow
+        # heuristic past 50% (the r4 planes fallback) while the alive
+        # distribution was dense-eligible the whole time.
+        bucket = 1 << max(0, (n_alive - 1).bit_length())
+        if bucket < O:
+            ai = np.flatnonzero(alive)
+            di = np.flatnonzero(~alive)[: bucket - n_alive]
+            sel = np.concatenate([ai, di])
+        else:
+            sel = np.arange(O)
+        w = alive[sel].astype(np.float32)
+        obs_cam_s, obs_pt_s = obs_cam[sel], obs_pt[sel]
         fixed = np.zeros(C, bool)
         fixed[~registered] = True
         fixed[np.flatnonzero(registered)[0]] = True
         ba_args = (
             intr_j, jnp.asarray(cam_k, jnp.int32),
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
-            jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(obs_uv, jnp.float32),
+            jnp.asarray(obs_cam_s), jnp.asarray(obs_pt_s),
+            jnp.asarray(obs_uv[sel], jnp.float32),
             jnp.asarray(w), jnp.asarray(fixed))
-        dkw = dense_ba_kwargs()
+        dkw = dense_ba_kwargs(obs_pt_s, obs_cam_s)
         if ckpt_path is not None:
             # checkpointed final solve: chunks + resume (SURVEY §5.3)
             from ..solvers import ba_ckpt

@@ -36,10 +36,15 @@ def _build(seed_data=3):
     return scene, stats
 
 
+TIMING_KEYS = {"phase_s", "ba_total_s", "ba_iters_per_s"}
+
+
 def test_reconstruction_bit_identical():
     s1, st1 = _build()
     s2, st2 = _build()
-    assert st1 == st2
+    # wall-clock instrumentation is the only permitted difference
+    assert ({k: v for k, v in st1.items() if k not in TIMING_KEYS}
+            == {k: v for k, v in st2.items() if k not in TIMING_KEYS})
     for name in ("cam_R", "cam_t", "cam_alive", "X", "X_alive",
                  "obs_cam", "obs_pt", "obs_uv", "obs_alive"):
         a, b = np.asarray(getattr(s1, name)), np.asarray(getattr(s2, name))
