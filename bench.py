@@ -408,6 +408,92 @@ def cpu_baseline_frames_per_s():
     return 1.0 / dt
 
 
+def geometric_verify_pairs_per_s():
+    """Batched SVD-free E-RANSAC verification (the r3 222-second wall;
+    VERDICT r4: track the stage in the driver's record, not just BASELINE
+    prose).  Np pairs x K matches x H hypotheses through the production
+    entry `matching.geometric_verify_pairs`."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfmx.kernels import matching
+    from sfmx.kernels.matching import MatchResult
+
+    Np, K, H = 256, K_FEAT, 256
+    rng = np.random.default_rng(3)
+    xn = jnp.asarray(rng.uniform(-0.5, 0.5, (8, K, 2)).astype(np.float32))
+    kp_mask = jnp.ones((8, K), bool)
+    pairs = jnp.asarray(rng.integers(0, 8, (Np, 2)).astype(np.int32))
+    matches = MatchResult(
+        idx=jnp.asarray(rng.integers(0, K, (Np, K)).astype(np.int32)),
+        valid=jnp.ones((Np, K), bool),
+        score=jnp.ones((Np, K), jnp.float32))
+    fn = jax.jit(lambda k: matching.geometric_verify_pairs(
+        k, xn, kp_mask, pairs, matches, threshold=1e-5, k_hypotheses=H))
+    key = jax.random.PRNGKey(0)
+    _force(fn(key)[1])
+    reps = 5
+    t0 = time.time()
+    for i in range(reps):
+        out = fn(jax.random.PRNGKey(i))
+    _force(out[1])
+    return Np * reps / (time.time() - t0)
+
+
+def extract_stream_fps():
+    """Warm steady-state extraction throughput (C2), 16-frame QVGA batches
+    through the production `_extract_raw` program."""
+    import jax
+
+    from sfmx.cli.config import FeatureConfig, PipelineConfig
+    from sfmx.cli.pipeline import _extract_raw
+
+    cfg = PipelineConfig(features=FeatureConfig(max_keypoints=K_FEAT))
+    rng = np.random.default_rng(0)
+    imgs = rng.random((16, 240, 320)).astype(np.float32)
+    out = _extract_raw(imgs, cfg)
+    _force(out.kp.response)
+    reps = 8
+    t0 = time.time()
+    for _ in range(reps):
+        out = _extract_raw(imgs, cfg)
+    _force(out.kp.response)
+    return 16 * reps / (time.time() - t0)
+
+
+def map_build_fps():
+    """END-TO-END map-build throughput (frames/s) at a fixed 96-frame
+    rendered-room config through the real build_map pipeline (extract +
+    match + geometric verify + tracks + incremental SfM + BA).  This is
+    the metric that moved 2.8x in round 4 while the query-throughput
+    headline sat still — the driver's record should see it (VERDICT r4)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from examples.room import RoomTexture, render_room, walk_poses
+    from sfmx.cli.config import FeatureConfig, MatchConfig, PipelineConfig
+    from sfmx.cli.pipeline import build_map
+
+    frames = 96
+    tex = RoomTexture(seed=7)
+    poses = walk_poses(frames)
+    imgs = np.stack([render_room(tex, R, eye, 320, 240, 280.0)
+                     for (R, t, eye) in poses])
+    intr = np.array([[280.0, 280.0, 160.0, 120.0, 0, 0, 0]], np.float32)
+    cfg = PipelineConfig(
+        features=FeatureConfig(max_keypoints=512),
+        match=MatchConfig(pair_mode="window", window=max(6, frames // 8)),
+        resize_to=(320, 240), focal_factor=0.875)
+    t0 = time.time()
+    scene, feats, tt, stats = build_map(imgs, intr,
+                                        np.zeros(frames, np.int32), cfg)
+    wall = time.time() - t0
+    if stats["n_registered"] < 0.9 * frames:
+        raise RuntimeError(
+            f"map build degraded: {stats['n_registered']}/{frames}")
+    return frames / wall, stats
+
+
 def main():
     import jax
 
@@ -440,6 +526,12 @@ def main():
         extras["ba_hbm_roofline_frac"] = round(frac, 3)
         extras["streaming_localize_fps"] = round(streaming_localize_fps(), 1)
         extras["tracking_fps"] = round(tracking_fps(), 1)
+        extras["geometric_verify_pairs_per_s"] = round(
+            geometric_verify_pairs_per_s(), 1)
+        extras["extract_fps"] = round(extract_stream_fps(), 1)
+        build_fps, bstats = map_build_fps()
+        extras["map_build_fps"] = round(build_fps, 2)
+        extras["map_build_ba_path"] = (bstats.get("ba_path") or {}).get("mode")
     except Exception as e:
         print(f"# sub-bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 

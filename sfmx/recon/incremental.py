@@ -686,7 +686,8 @@ def reconstruct(
     # fusing it into the primary through the VERIFIED shared-track /
     # shared-camera similarity.  Registration failure = component dropped
     # (diagnostics recorded), never a blind stitch.
-    from .register import RegistrationError, register_points_verified
+    from .register import (RegistrationError, register_points_verified,
+                           register_rigid_anchored)
 
     has_tracks = np.array([len(cam_tracks[c]) > 0 for c in range(C)])
     n_possible = max(int(has_tracks.sum()), 1)
@@ -745,10 +746,20 @@ def reconstruct(
             Pb_l.append(-np.einsum("cji,cj->ci", camR_sec[shared_c],
                                    camt_sec[shared_c]))
         try:
-            key, sk = jax.random.split(key)
-            reg = register_points_verified(
-                np.concatenate(Pa_l), np.concatenate(Pb_l), key=sk,
-                min_inliers=max(8, cfg.min_init_inliers // 3))
+            if int(shared_c.sum()) >= 3:
+                # rotation anchored on shared camera orientations: the
+                # shared structure concentrates at the frontier boundary,
+                # where point-only Umeyama is rotation/scale-degenerate
+                # (measured: 92% inlier frac, halves 15-33 deg apart)
+                reg = register_rigid_anchored(
+                    cam_R[shared_c], camR_sec[shared_c],
+                    np.concatenate(Pa_l), np.concatenate(Pb_l),
+                    min_point_inliers=max(8, cfg.min_init_inliers // 3))
+            else:
+                key, sk = jax.random.split(key)
+                reg = register_points_verified(
+                    np.concatenate(Pa_l), np.concatenate(Pb_l), key=sk,
+                    min_inliers=max(8, cfg.min_init_inliers // 3))
         except RegistrationError as e:
             stats["components"].append(
                 {"component": comp, "new_cams": int(new_cams.sum()),

@@ -81,13 +81,15 @@ def _umeyama_np(src: np.ndarray, dst: np.ndarray):
     return s, R, t
 
 
-def _sim3_diff(m1, m2, extent: float):
+def _sim3_diff(m1, m2, extent: float, x_eval=None):
     """Difference between two similarities: (rot deg, scale ratio-1,
-    translation gap as a fraction of scene extent).
+    displacement gap as a fraction of scene extent).
 
-    The translation gap is measured as the mean displacement of the two
-    maps over the scene volume (evaluated at the centroid-ish origin),
-    which is what downstream geometry feels — not the raw |t1-t2|.
+    The translation gap is the displacement |m1(x) - m2(x)| at ``x_eval``
+    (the data centroid) — what downstream geometry feels.  A raw |t1-t2|
+    would charge the scale/rotation uncertainty times the lever arm from
+    the ORIGIN to the data, which for data far from the origin rejects
+    perfectly good fits.
     """
     s1, R1, t1 = m1
     s2, R2, t2 = m2
@@ -95,7 +97,9 @@ def _sim3_diff(m1, m2, extent: float):
     cosang = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
     rot_deg = float(np.degrees(np.arccos(cosang)))
     scale = float(abs(s1 / max(s2, 1e-12) - 1.0))
-    trans = float(np.linalg.norm(t1 - t2) / max(extent, 1e-9))
+    x = np.zeros(3) if x_eval is None else np.asarray(x_eval, np.float64)
+    disp = (s1 * (R1 @ x) + t1) - (s2 * (R2 @ x) + t2)
+    trans = float(np.linalg.norm(disp) / max(extent, 1e-9))
     return rot_deg, scale, trans
 
 
@@ -164,7 +168,8 @@ def solve_sim3_gated(
     if len(h1) >= 3 and len(h2) >= 3:
         m1 = _umeyama_np(Pb[h1], Pa[h1])
         m2 = _umeyama_np(Pb[h2], Pa[h2])
-        rot_deg, scale, trans = _sim3_diff(m1, m2, extent)
+        rot_deg, scale, trans = _sim3_diff(m1, m2, extent,
+                                           x_eval=Pb[ia].mean(0))
         diag["split_rot_deg"] = round(rot_deg, 3)
         diag["split_scale"] = round(scale, 4)
         diag["split_trans_frac"] = round(trans, 4)
@@ -340,6 +345,114 @@ def register_landmarks_verified(
     diag["n_attempts"] = len(attempts)
     return RegResult(float(s), np.asarray(R), np.asarray(t),
                      pairs, np.asarray(inl), diag)
+
+
+def register_rigid_anchored(
+    Ra, Rb, Pa, Pb, *, extent: float | None = None,
+    rot_inlier_deg: float = 10.0, min_rot_inliers: int = 3,
+    min_point_inliers: int = 8, inlier_frac_of_extent: float = 0.02,
+    agree_scale: float = 0.05, agree_trans_frac: float = 0.03,
+) -> RegResult:
+    """Sim3 B->A anchored on shared CAMERA ORIENTATIONS (in-session
+    component fusion).
+
+    Point-only Umeyama is ill-conditioned when the shared structure
+    concentrates in a small region (a corridor doorway): rotation and
+    scale ride a tiny lever arm, and the split-half check rightly rejects
+    (measured: 92% inlier fraction with halves disagreeing by 15-33 deg).
+    Shared cameras carry GLOBAL orientation: with world-to-cam conventions
+    x = R_a X_a + t_a = R_b X_b + t_b and X_a = s R X_b + T, every shared
+    camera satisfies R = R_a[c]^T R_b[c] exactly.  So: robust-average the
+    per-camera rotation candidates (mode + reject >rot_inlier_deg), then
+    solve only (s, T) from point/center pairs in closed form, and verify
+    with the split-half check on (s, T) alone — well-conditioned even on
+    thin shared regions.
+
+    Args: Ra/Rb (S,3,3) world-to-cam of the SAME cameras in frames A/B;
+    Pa/Pb (M,3) corresponding points (shared landmarks and/or camera
+    centers).  Raises RegistrationError when the anchor or the fit fails.
+    """
+    Ra = np.asarray(Ra, np.float64)
+    Rb = np.asarray(Rb, np.float64)
+    Pa = np.asarray(Pa, np.float64)
+    Pb = np.asarray(Pb, np.float64)
+    S = len(Ra)
+    diag: dict = {"n_shared_cams": S, "n_points": len(Pa)}
+    if S < min_rot_inliers:
+        raise RegistrationError(
+            f"rotation anchor needs >= {min_rot_inliers} shared cameras, "
+            f"got {S}", [diag])
+    cand = np.einsum("cji,cjk->cik", Ra, Rb)      # (S,3,3) R_a^T R_b
+    # pairwise geodesic distances -> mode candidate
+    tr = np.einsum("cij,dij->cd", cand, cand)     # trace(Rc Rd^T)
+    ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    med = np.median(ang, axis=1)
+    mode = int(np.argmin(med))
+    rot_inl = ang[mode] <= rot_inlier_deg
+    diag["rot_inliers"] = int(rot_inl.sum())
+    diag["rot_spread_deg"] = round(float(np.median(ang[mode][rot_inl])), 3)
+    if int(rot_inl.sum()) < min_rot_inliers:
+        diag["fail"] = (f"rotation anchor: only {int(rot_inl.sum())} of {S} "
+                        f"cameras agree within {rot_inlier_deg} deg")
+        raise RegistrationError("anchored registration failed", [diag])
+    M = cand[rot_inl].sum(0)
+    U, _, Vt = np.linalg.svd(M)
+    sgn = np.sign(np.linalg.det(U @ Vt))
+    R = U @ np.diag([1.0, 1.0, sgn]) @ Vt         # B->A rotation
+
+    # closed-form (s, T) given R: min sum ||Pa - (s R Pb + T)||^2
+    if len(Pa) < 3:
+        diag["fail"] = f"too few point correspondences ({len(Pa)})"
+        raise RegistrationError("anchored registration failed", [diag])
+    Qb = Pb @ R.T
+    mu_a = Pa.mean(0)
+    mu_q = Qb.mean(0)
+    qa = ((Pa - mu_a) * (Qb - mu_q)).sum()
+    qq = ((Qb - mu_q) ** 2).sum()
+    s = float(qa / max(qq, 1e-12))
+    if s <= 0:
+        diag["fail"] = f"non-positive scale {s:.4f}"
+        raise RegistrationError("anchored registration failed", [diag])
+    T = mu_a - s * mu_q
+    if extent is None:
+        extent = float(np.linalg.norm(Pa.max(0) - Pa.min(0)))
+    thresh = inlier_frac_of_extent * max(extent, 1e-9)
+    resid = np.linalg.norm(Pa - (s * Qb + T), axis=1)
+    inl = resid < thresh
+    diag["inliers"] = int(inl.sum())
+    diag["inlier_frac"] = round(float(inl.mean()), 3)
+    if int(inl.sum()) < min_point_inliers or inl.mean() < 0.25:
+        diag["fail"] = (f"support gate: {int(inl.sum())} point inliers "
+                        f"({inl.mean():.2f})")
+        raise RegistrationError("anchored registration failed", [diag])
+    # refit (s,T) on inliers + split-half stability of (s,T) ONLY (R fixed)
+    def fit_st(idx):
+        qa_ = ((Pa[idx] - Pa[idx].mean(0)) * (Qb[idx] - Qb[idx].mean(0))).sum()
+        qq_ = ((Qb[idx] - Qb[idx].mean(0)) ** 2).sum()
+        s_ = qa_ / max(qq_, 1e-12)
+        return s_, Pa[idx].mean(0) - s_ * Qb[idx].mean(0)
+    ii = np.flatnonzero(inl)
+    s, T = fit_st(ii)
+    h1, h2 = ii[0::2], ii[1::2]
+    if len(h1) >= 3 and len(h2) >= 3:
+        s1_, T1 = fit_st(h1)
+        s2_, T2 = fit_st(h2)
+        dscale = abs(s1_ / max(s2_, 1e-12) - 1.0)
+        # displacement at the data centroid (not the origin — |T1-T2| alone
+        # charges scale uncertainty times the centroid's lever arm)
+        q_mu = Qb[ii].mean(0)
+        dtrans = float(np.linalg.norm((s1_ * q_mu + T1) - (s2_ * q_mu + T2))
+                       / max(extent, 1e-9))
+        diag["split_scale"] = round(float(dscale), 4)
+        diag["split_trans_frac"] = round(dtrans, 4)
+        if dscale > agree_scale or dtrans > agree_trans_frac:
+            diag["fail"] = ("split-half instability (s,T): "
+                            f"{dscale:.3f} scale / {dtrans:.3f} extent-frac")
+            raise RegistrationError("anchored registration failed", [diag])
+    diag["verified"] = True
+    pairs = np.stack([np.arange(len(Pa))] * 2, axis=1)
+    return RegResult(float(s), R.astype(np.float64), np.asarray(T),
+                     pairs, inl, diag)
 
 
 def register_points_verified(

@@ -93,3 +93,59 @@ def test_merge_scenes_disjoint_raises(disjoint_sessions):
     s1, s2 = disjoint_sessions
     with pytest.raises(RegistrationError, match="disconnected|verification"):
         merge_scenes([s1, s2])
+
+
+def _rand_rot(rng):
+    A = rng.standard_normal((3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    return Q
+
+
+def test_register_rigid_anchored_thin_region():
+    """Rotation-anchored fusion: exact on a THIN shared region (corridor
+    doorway) where point-only Umeyama is rotation-degenerate."""
+    from sfmx.recon.register import register_rigid_anchored
+
+    rng = np.random.default_rng(7)
+    s, R, t = _rand_sim3(rng)
+    # shared points clustered in a 0.3 m ball 10 m from the origin
+    Pb = (rng.standard_normal((40, 3)) * 0.1 + np.array([10.0, 0, 0]))
+    Pa = s * (Pb @ R.T) + t + 0.003 * rng.standard_normal((40, 3))
+    # shared cameras: same rigid relation on their orientations
+    Rb_c = np.stack([_rand_rot(rng) for _ in range(6)])
+    Ra_c = np.einsum("cij,kj->cik", Rb_c, R)  # R_a = R_b R^T  (R_a^T R_b = R)
+    reg = register_rigid_anchored(Ra_c, Rb_c, Pa, Pb)
+    assert abs(reg.s / s - 1.0) < 0.01
+    assert np.allclose(reg.R, R, atol=5e-3), np.abs(reg.R - R).max()
+    err = np.linalg.norm(reg.s * (Pb @ reg.R.T) + reg.t - Pa, axis=1)
+    assert np.median(err) < 0.02
+
+
+def test_register_rigid_anchored_outlier_rotation():
+    """One corrupted shared camera must be rejected by the rotation mode."""
+    from sfmx.recon.register import register_rigid_anchored
+
+    rng = np.random.default_rng(8)
+    s, R, t = _rand_sim3(rng)
+    Pb = rng.standard_normal((30, 3))
+    Pa = s * (Pb @ R.T) + t
+    Rb_c = np.stack([_rand_rot(rng) for _ in range(5)])
+    Ra_c = np.einsum("cij,kj->cik", Rb_c, R)
+    Ra_c[0] = _rand_rot(rng)  # corrupted
+    reg = register_rigid_anchored(Ra_c, Rb_c, Pa, Pb)
+    assert reg.diag["rot_inliers"] == 4
+    assert np.allclose(reg.R, R, atol=1e-2)
+
+
+def test_register_rigid_anchored_rejects_disagreement():
+    from sfmx.recon.register import register_rigid_anchored
+
+    rng = np.random.default_rng(9)
+    Pa = rng.standard_normal((30, 3))
+    Pb = rng.standard_normal((30, 3))
+    Ra_c = np.stack([_rand_rot(rng) for _ in range(5)])
+    Rb_c = np.stack([_rand_rot(rng) for _ in range(5)])  # unrelated
+    with pytest.raises(RegistrationError):
+        register_rigid_anchored(Ra_c, Rb_c, Pa, Pb)
