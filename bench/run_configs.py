@@ -101,10 +101,15 @@ def config2_scale(frames: int):
         render = lambda R, eye: render_room(tex, R, eye, 320, 240, 280.0)
     tmp = Path(tempfile.mkdtemp(prefix="sfmx_c2_"))
     (tmp / "imgs").mkdir()
-    for i, (R, t, eye) in enumerate(poses):
-        img = render(R, eye)
-        Image.fromarray((img * 255).astype(np.uint8)).save(
-            tmp / "imgs" / f"{i:04d}.png")
+    if frames >= 256:
+        from examples.room import render_walk_parallel
+
+        render_walk_parallel(args.scene, args.rooms, poses, tmp / "imgs")
+    else:
+        for i, (R, t, eye) in enumerate(poses):
+            img = render(R, eye)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                tmp / "imgs" / f"{i:04d}.png")
 
     # capture stage JSON-lines so the breakdown lands in this report
     # The walk covers a FIXED path, so per-frame baseline shrinks ~1/frames;
@@ -114,7 +119,13 @@ def config2_scale(frames: int):
     # triangulation angle vs the 1.5 deg gate — frames//8 reaches ~5 deg).
     # corridor walks cover ~5x the path length per frame; keep the pair
     # window spanning ~2.5 m of path so doorway transitions stay bridged
-    window = max(6, frames // 8) if args.scene == "room" else max(12, frames // 13)
+    # (path length ~= 7.75 m per room, so the window must scale with
+    # frames/rooms — the old frames//13 was tuned at 4 rooms and overshoots
+    # 3x at the 5k-frame/12-room config-4 scale)
+    if args.scene == "room":
+        window = max(6, frames // 8)
+    else:
+        window = max(12, int(frames * 2.5 / (7.75 * args.rooms)))
     buf = io.StringIO()
     old_stream = LOGGER._stream
     LOGGER._stream = buf
@@ -541,6 +552,9 @@ def config5_dispatch():
     return config5_serve(args.frames) if args.frames >= 48 else config5()
 
 
-out = {1: config1, 2: config2, 3: config3, 4: config4_dispatch,
-       5: config5_dispatch}[args.config]()
-print(json.dumps(out))
+if __name__ == "__main__":
+    # guarded: the parallel renderer's spawn workers re-import this module
+    # as __mp_main__ and must not re-run the dispatch
+    out = {1: config1, 2: config2, 3: config3, 4: config4_dispatch,
+           5: config5_dispatch}[args.config]()
+    print(json.dumps(out))

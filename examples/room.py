@@ -245,3 +245,53 @@ def corridor_walk_poses(cor: Corridor, n):
         R, t = look_at(eye, eye + 4.0 * d)
         poses.append((R, t, eye))
     return poses
+
+
+# ---------------------------------------------------------------------------
+# Parallel rendering (config-4/5 scale proofs render thousands of frames;
+# single-threaded ray-casting is ~0.17 s/frame at 12 rooms = 14 min for 5k)
+# ---------------------------------------------------------------------------
+
+_PAR_CTX = {}
+
+
+def _par_render_init(scene: str, rooms: int, seed: int):
+    if scene == "corridor":
+        _PAR_CTX["obj"] = Corridor(n_rooms=rooms, seed=seed)
+    else:
+        _PAR_CTX["obj"] = RoomTexture(seed=seed)
+    _PAR_CTX["scene"] = scene
+
+
+def _par_render_save(task):
+    i, R, eye, outdir, width, height, focal = task
+    from PIL import Image
+
+    if _PAR_CTX["scene"] == "corridor":
+        img = render_corridor(_PAR_CTX["obj"], R, eye, width, height, focal)
+    else:
+        img = render_room(_PAR_CTX["obj"], R, eye, width, height, focal)
+    Image.fromarray((img * 255).astype(np.uint8)).save(
+        f"{outdir}/{i:05d}.png")
+    return i
+
+
+def render_walk_parallel(scene: str, rooms: int, poses, outdir,
+                         workers: int = 12, width: int = 320,
+                         height: int = 240, focal: float = 280.0,
+                         seed: int = 7):
+    """Render+save a pose list with a spawn-based process pool.
+
+    spawn (not fork): the caller usually holds a live TPU client, which a
+    forked child must never inherit (only one process may touch the chip).
+    """
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    tasks = [(i, R, eye, str(outdir), width, height, focal)
+             for i, (R, t, eye) in enumerate(poses)]
+    ctx = mp.get_context("spawn")
+    with ProcessPoolExecutor(workers, mp_context=ctx,
+                             initializer=_par_render_init,
+                             initargs=(scene, rooms, seed)) as ex:
+        list(ex.map(_par_render_save, tasks, chunksize=16))

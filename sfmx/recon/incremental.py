@@ -377,17 +377,21 @@ def reconstruct(
 
         lens = np.bincount(obs_pt_s, minlength=T)
         O = len(obs_pt_s)
+        # tp=128 earns its 2x compile-time: on the 1024-frame corridor
+        # (30% overflow at tp=64) the overflow planes-path rows dominated
+        # and dense+ov ran at 6.3 LM iters/s vs planes' 7.9 — tp=128
+        # (8.2% overflow) measured 20.1 iters/s on the same scene/chip.
         tp = None
-        for cand in (8, 16, 32, 64):
+        for cand in (8, 16, 32, 64, 128):
             if np.maximum(lens - cand, 0).sum() <= 0.15 * O:
                 tp = cand
                 break
         if tp is None:
-            tp = 64
+            tp = 128
             if np.maximum(lens - tp, 0).sum() > 0.5 * O:
                 # overflow-majority scene: planes path wins
                 stats["ba_path"] = {"mode": "planes",
-                                    "why": "overflow-majority at tp=64"}
+                                    "why": "overflow-majority at tp=128"}
                 return {}
         ov = int(np.maximum(lens - tp, 0).sum())
         ov_cap = 0 if ov == 0 else max(128, 1 << (ov - 1).bit_length())
@@ -395,12 +399,29 @@ def reconstruct(
         wc = segsum.compute_cam_window(obs_pt_s[order], obs_cam_s[order],
                                        T, C, tp)
         wc = 128 * (1 << max(0, (wc // 128 - 1).bit_length()))
+        # VMEM fit, empirically fenced on this chip's 16 MB scoped limit
+        # (six measured configs: OK at {64,512,256},{64,256,1024},
+        # {128,128,1024},{32,512,256}; OOM at {64,512,1024},{128,256,1024}
+        # as (tp,tile_p,wc)): largest tile with tile_p*(8.4*tp+wc) <= 4.5e5.
+        # tp=256 OOMs the assembly kernel even at tile_p=128 — tp caps at
+        # 128 above.
+        tile_p = None
+        for cand_t in (512, 256, 128):
+            if cand_t * (8.4 * tp + wc) <= 4.5e5:
+                tile_p = cand_t
+                break
+        if tile_p is None:
+            stats["ba_path"] = {"mode": "planes",
+                                "why": f"no VMEM-feasible tile at tp={tp}, "
+                                       f"wc={wc}"}
+            return {}
         # VERDICT r4 weak item: nothing recorded WHICH BA path real builds
         # ran — log the chosen layout so BASELINE rows can prove engagement
         stats["ba_path"] = {"mode": "dense", "tp": tp, "ov_cap": ov_cap,
-                            "cam_window": wc, "obs": O,
+                            "cam_window": wc, "tile_p": tile_p, "obs": O,
                             "overflow_frac": round(ov / max(O, 1), 3)}
-        return dict(tp_cap=tp, dense_cg=True, cam_window=wc, ov_cap=ov_cap)
+        return dict(tp_cap=tp, dense_cg=True, cam_window=wc, ov_cap=ov_cap,
+                    tile_p=tile_p)
 
     def run_ba(iters, ckpt_path=None):
         nonlocal cam_R, cam_t, X

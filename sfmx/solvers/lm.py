@@ -146,7 +146,7 @@ def _eval_cost(intr, k_idx, R, t, X, cam_id, pt_id, uv, w_valid, delta):
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "tp_cap", "tc_cap",
                                    "return_lam", "dense_cg", "cam_window",
-                                   "ov_cap"))
+                                   "ov_cap", "tile_p"))
 def ba_solve(
     intr: jax.Array,      # (I,7)
     k_idx: jax.Array,     # (C,) int32
@@ -169,6 +169,7 @@ def ba_solve(
     dense_cg: bool = False,
     cam_window: int | None = None,
     ov_cap: int = 0,
+    tile_p: int = 512,
 ):
     """Run `iters` LM iterations; returns (R, t, X, costs[iters+1]).
 
@@ -257,7 +258,7 @@ def ba_solve(
         x8_0 = jnp.zeros((8, pp0), jnp.float32).at[:3, :n_pts].set(X.T)
         cost0 = segsum.ba_cost_fused(
             cam19_0, dense.camp, uvw, x8_0, huber_n, tp=dense.camp.shape[0],
-            nc=1, bases=dense.bases, cam_window=cam_window,
+            nc=1, bases=dense.bases, cam_window=cam_window, tile_p=tile_p,
             interpret=fused_interp)[0]
         if ov is not None:
             cost0 = cost0 + _eval_cost(intr, k_idx, R, t, X, ov[0], ov[1],
@@ -294,12 +295,13 @@ def ba_solve(
                 ov_cost = robust_cost(r2o, ov[3], huber_n)
             sysd, _ = schur.reduce_system_fused(
                 intr, k_idx, R, t, X, dense, uvw, state.lam, huber_n,
-                cam_window=cam_window, ov_blocks=ov_blocks, ov_cost=ov_cost)
+                cam_window=cam_window, tile_p=tile_p,
+                ov_blocks=ov_blocks, ov_cost=ov_cost)
             dx_c, _ = schur.pcg_dense(sysd, iters=cg_iters,
                                       fixed_cam_mask=fixed_cam_mask,
-                                      cam_window=cam_window)
+                                      cam_window=cam_window, tile_p=tile_p)
             dx_p = schur.solve_points_dense(
-                sysd, dx_c, cam_window=cam_window)[:n_pts]
+                sysd, dx_c, cam_window=cam_window, tile_p=tile_p)[:n_pts]
         elif pt_rows is not None:
             r, Jc, Jp = _jacobians_planes(intr, k_idx, R, t, X,
                                           cam_id, pt_id, uv)
@@ -350,7 +352,8 @@ def ba_solve(
             trial_costs = segsum.ba_cost_fused(
                 cam19s, dense.camp, uvw, x8s, huber_n,
                 tp=dense.camp.shape[0], nc=4, bases=dense.bases,
-                cam_window=cam_window, interpret=fused_interp)
+                cam_window=cam_window, tile_p=tile_p,
+                interpret=fused_interp)
             if ov is not None:
                 def ov_trial(alpha):
                     R2, t2 = se3.perturb_b(R, t, alpha * dx_c)
