@@ -461,6 +461,47 @@ def extract_stream_fps():
     return 16 * reps / (time.time() - t0)
 
 
+def serving_p95_ms():
+    """Steady-state serving latency (C14): bursts of 16 concurrent
+    feature-level requests through the micro-batching service after all
+    batch buckets are warm — p95 measures serving, not compiles."""
+    import asyncio
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_map
+    from sfmx.cli.config import PipelineConfig
+    from sfmx.serve import LocalizationService
+    from sfmx.serve.server import ServiceStats
+
+    lmap = _example_map(P=20000, C=128, D=128, Kc=256)
+    svc = LocalizationService(batch_window_ms=5.0, max_batch=16)
+    svc.load_map("m", lmap, jnp.asarray([560.0, 560.0, W / 2, H / 2, 0, 0, 0],
+                                        jnp.float32), cfg=PipelineConfig())
+    rng = np.random.default_rng(5)
+    B, K = 16, K_FEAT
+    q_desc = rng.standard_normal((B, K, 128)).astype(np.float32)
+    q_desc /= np.linalg.norm(q_desc, axis=-1, keepdims=True)
+    q_uv = rng.uniform(0, W, (B, K, 2)).astype(np.float32)
+    q_mask = np.ones((B, K), bool)
+
+    async def run():
+        await svc.start()
+        try:
+            for r in range(6):
+                if r == 3:
+                    svc.stats = ServiceStats()  # drop warm-burst latencies
+                await asyncio.gather(*[
+                    svc.localize("m", q_desc[i], q_uv[i], q_mask[i])
+                    for i in range(B)])
+            return svc.stats.snapshot()
+        finally:
+            await svc.stop()
+
+    st = asyncio.run(run())
+    return st["p95_latency_ms"]
+
+
 def map_build_fps():
     """END-TO-END map-build throughput (frames/s) at a fixed 96-frame
     rendered-room config through the real build_map pipeline (extract +
@@ -529,6 +570,7 @@ def main():
         extras["geometric_verify_pairs_per_s"] = round(
             geometric_verify_pairs_per_s(), 1)
         extras["extract_fps"] = round(extract_stream_fps(), 1)
+        extras["serving_p95_ms"] = round(serving_p95_ms(), 1)
         build_fps, bstats = map_build_fps()
         extras["map_build_fps"] = round(build_fps, 2)
         extras["map_build_ba_path"] = (bstats.get("ba_path") or {}).get("mode")

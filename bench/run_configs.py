@@ -466,6 +466,9 @@ def config5_serve(fps: int):
     # serve with 4 map shards; POST the real images
     svc = LocalizationService(batch_window_ms=10.0, max_batch=8)
     svc.load_map("merged", lmap, jnp.asarray(intr[0]), cfg=cfg, shards=4)
+    # compile every batch bucket up front: the timed burst must measure
+    # serving, not whichever bucket the warm burst happened to miss
+    svc.warmup("merged")
     app = make_app(svc)
     payloads = []
     for img in q_imgs:

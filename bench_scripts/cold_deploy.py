@@ -1,0 +1,122 @@
+"""Cold-deploy story, measured (VERDICT r4 item 9): time-to-first-localized-
+frame for three deployment states of the SAME map bundle:
+
+  true_cold     empty compile cache — pays every remote compile
+  shipped_cold  fresh machine + `sfmx unbundle` bundle (map + .jax_cache)
+  warm          second run on the shipped cache
+
+Flow: render a small walkthrough -> build map + run one localize with a
+PRIME cache (so the cache holds the build AND serve programs) -> `sfmx
+bundle` -> run `sfmx localize` in a fresh subprocess per scenario with
+SFMX_JAX_CACHE pointing at the scenario's cache.  One TPU process at a
+time (subprocesses run sequentially).
+
+Usage: python bench_scripts/cold_deploy.py [--frames 12]
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def run_cli(args, cache, timeout=1800):
+    env = dict(os.environ)
+    env["SFMX_JAX_CACHE"] = str(cache)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "sfmx.cli.main", *args],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=timeout)
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(f"{args[0]} failed: {proc.stderr[-800:]}")
+    return dt, proc.stdout
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=12)
+    args = p.parse_args()
+
+    from PIL import Image
+
+    from examples.room import RoomTexture, look_at, render_room, walk_poses
+
+    root = Path(tempfile.mkdtemp(prefix="sfmx_deploy_"))
+    (root / "imgs").mkdir()
+    (root / "query").mkdir()
+    tex = RoomTexture(seed=3)
+    poses = walk_poses(args.frames)
+    for i, (R, t, eye) in enumerate(poses):
+        img = render_room(tex, R, eye, 320, 240, 280.0)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            root / "imgs" / f"{i:03d}.png")
+    si = 0.45
+    eye = np.array([-3.0 + 6.0 * si + 0.1, 0.2 * np.sin(6 * si) + 0.05,
+                    -3.0 + 2.0 * si])
+    yaw = np.deg2rad(25.0 + 20.0 * si + 3.0)
+    d = np.array([np.sin(yaw), 0.12 * np.sin(4 * si), np.cos(yaw)])
+    Rq, _ = look_at(eye, eye + 5.0 * d)
+    Image.fromarray(
+        (render_room(tex, Rq, eye, 320, 240, 280.0) * 255).astype(np.uint8)
+    ).save(root / "query" / "q.png")
+
+    common = ["-D", "features.max_keypoints=512", "-D", "resize_to=320,240",
+              "-D", "focal_factor=0.875"]
+
+    # prime: build + localize once so the cache holds both program sets
+    prime = root / "prime_cache"
+    build_s, _ = run_cli(["build-map", str(root / "imgs"), "-o",
+                          str(root / "map"), *common], prime)
+    prime_loc_s, _ = run_cli(["localize", str(root / "map"),
+                              str(root / "query"), *common], prime)
+
+    _, out = run_cli(["bundle", str(root / "map"), "-o",
+                      str(root / "deploy.tar.gz"), "--cache", str(prime)],
+                     prime)
+    bundle_info = json.loads(out.strip().splitlines()[-1])
+
+    # scenario A: true cold (empty cache)
+    cold_cache = root / "cold_cache"
+    cold_cache.mkdir()
+    true_cold_s, _ = run_cli(["localize", str(root / "map"),
+                              str(root / "query"), *common], cold_cache)
+
+    # scenario B: shipped bundle on a "fresh machine"
+    dest = root / "deployed"
+    _, out = run_cli(["unbundle", str(root / "deploy.tar.gz"), "-d",
+                      str(dest)], cold_cache)
+    info = json.loads(out.strip().splitlines()[-1])
+    shipped_cold_s, _ = run_cli(["localize", info["maps"][0],
+                                 str(root / "query"), *common],
+                                Path(info["cache"]))
+
+    # scenario C: warm rerun on the shipped cache
+    warm_s, _ = run_cli(["localize", info["maps"][0], str(root / "query"),
+                         *common], Path(info["cache"]))
+
+    report = {
+        "frames": args.frames,
+        "bundle_mb": bundle_info["size_mb"],
+        "cached_programs": bundle_info["cached_programs"],
+        "prime_build_s": round(build_s, 1),
+        "true_cold_localize_s": round(true_cold_s, 1),
+        "shipped_cold_localize_s": round(shipped_cold_s, 1),
+        "warm_localize_s": round(warm_s, 1),
+        "pass": shipped_cold_s <= 60.0,
+    }
+    print(json.dumps(report))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

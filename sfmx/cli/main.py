@@ -232,6 +232,9 @@ def cmd_serve(args):
         scene, lmap = _load_lmap(path, binary=cfg.localize.binary)
         service.load_map(map_id, lmap, jnp.asarray(np.asarray(scene.intr)[0]),
                          cfg=cfg, shards=args.shards)
+        if not args.no_warmup:
+            # compile every batch bucket BEFORE traffic (persistent-cached)
+            service.warmup(map_id)
     app = make_app(service)
     web.run_app(app, port=args.port)
 
@@ -424,6 +427,8 @@ def main(argv=None):
     s.add_argument("--max-batch", type=int, default=32)
     s.add_argument("--shards", type=int, default=1,
                    help="split each map across N devices, route by retrieval")
+    s.add_argument("--no-warmup", action="store_true",
+                   help="skip compiling batch buckets at startup")
     s.add_argument("--config", default=None)
     s.add_argument("--override", "-D", action="append")
     s.set_defaults(fn=cmd_serve)

@@ -198,11 +198,12 @@ def _pairs_fused_kernel(pairs_ref, d_hbm, dt_hbm, ma_hbm, mb_hbm, o_ref,
         o_ref[j, 3] = s2
 
 
-@partial(jax.jit, static_argnames=("ratio", "cross_check", "interpret"))
+@partial(jax.jit, static_argnames=("ratio", "cross_check", "interpret", "G"))
 def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
                              pairs: jax.Array, *, ratio: float = 0.8,
                              cross_check: bool = True,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             G: int = 8):
     """Drop-in for matching.match_pairs_float via the fully-fused VMEM-tile
     kernel (no XLA postprocessing at all).
 
@@ -215,7 +216,6 @@ def match_pairs_float_pallas(descs: jax.Array, masks: jax.Array,
         interpret = jax.default_backend() != "tpu"
     C, K, D = descs.shape
     Np = pairs.shape[0]
-    G = 8
     # The pair list is a scalar-prefetch operand and must fit SMEM (1 MB):
     # big pair lists (hundreds of frames x retrieval fan-out) are processed
     # in fixed chunks through ONE compiled kernel via lax.map.

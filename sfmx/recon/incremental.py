@@ -399,15 +399,16 @@ def reconstruct(
         wc = segsum.compute_cam_window(obs_pt_s[order], obs_cam_s[order],
                                        T, C, tp)
         wc = 128 * (1 << max(0, (wc // 128 - 1).bit_length()))
-        # VMEM fit, empirically fenced on this chip's 16 MB scoped limit
-        # (six measured configs: OK at {64,512,256},{64,256,1024},
-        # {128,128,1024},{32,512,256}; OOM at {64,512,1024},{128,256,1024}
-        # as (tp,tile_p,wc)): largest tile with tile_p*(8.4*tp+wc) <= 4.5e5.
-        # tp=256 OOMs the assembly kernel even at tile_p=128 — tp caps at
-        # 128 above.
+        # VMEM fit, empirically fenced on this chip's 16 MB scoped limit.
+        # The assembly kernel's footprint is dominated by tp*tile_p (its
+        # (tp*18, tile_p) W output + per-slot temporaries); the matvec adds
+        # a wc*tile_p one-hot/iota term.  Measured OK: (tp,tile_p,wc) =
+        # {32,512,256},{64,256,1024},{128,128,1024}; OOM: {64,512,1024},
+        # {128,256,~512},{256,128,1024}.  Safe region: tp*tile_p <= 16384
+        # AND wc*tile_p <= 262144.
         tile_p = None
         for cand_t in (512, 256, 128):
-            if cand_t * (8.4 * tp + wc) <= 4.5e5:
+            if tp * cand_t <= 16384 and wc * cand_t <= 262144:
                 tile_p = cand_t
                 break
         if tile_p is None:

@@ -128,6 +128,33 @@ class LocalizationService:
             obj = jax.device_put(lmap)
         self.maps[map_id] = (obj, jnp.asarray(intr, jnp.float32), cfg)
 
+    def warmup(self, map_id: str, *, max_bucket: int | None = None):
+        """Compile every pow2 batch bucket for this map's extraction and
+        localization programs (VERDICT r4 item 6: serving must never pay a
+        mid-traffic compile — the concurrent-burst p95 was measuring the
+        remote-compile service, not the serving path, whenever the timed
+        burst landed in a bucket the warm burst missed).
+
+        With the persistent compile cache this is a one-time cost per
+        deployment; `sfmx bundle` ships the resulting cache.
+        """
+        lmap, _intr0, cfg = self.maps[map_id]
+        W, H = cfg.resize_to
+        cap = max_bucket or self.max_batch
+        b = 1
+        buckets = []
+        while b <= cap:
+            buckets.append(b)
+            b *= 2
+        for n in buckets:
+            reqs = [_Request(map_id, None, None,
+                             image=np.zeros((H, W), np.float32))
+                    for _ in range(n)]
+            self._extract(reqs)
+            binary = (reqs[0].q_bits is not None and
+                      getattr(lmap, "lm_bits", None) is not None)
+            self._localize_group(map_id, reqs, binary)
+
     async def start(self):
         self._task = asyncio.create_task(self._batch_loop())
 

@@ -210,3 +210,27 @@ def test_http_image_localization_batches(rendered_map_service):
     assert all(b["confidence"] > 0.2 for b in bodies)
     assert svc.stats.image_requests == 4
     assert svc.stats.batches < svc.stats.requests  # uploads were micro-batched
+
+
+def test_service_warmup_compiles_buckets(rendered_map_service):
+    """warmup() pre-compiles every pow2 batch bucket (image extraction +
+    localization) without touching service state; requests still work."""
+    import asyncio
+
+    svc0, q_img = rendered_map_service
+    # fresh service (the fixture's queue is bound to an earlier test's event
+    # loop); share the already-device-put map entry
+    svc = LocalizationService(batch_window_ms=5.0, max_batch=8)
+    svc.maps["room"] = svc0.maps["room"]
+    svc.warmup("room", max_bucket=4)   # buckets 1, 2, 4
+    assert svc.stats.requests == 0     # warmup is not traffic
+
+    async def run():
+        await svc.start()
+        try:
+            return await svc.localize("room", image=q_img)
+        finally:
+            await svc.stop()
+
+    out = asyncio.run(run())
+    assert out["n_inliers"] >= 12
