@@ -351,6 +351,8 @@ def reconstruct(
         X_alive[newly] = True
         phase_s["triangulate"] += _time.time() - t0
 
+    dkw_memo: dict = {}
+
     def dense_ba_kwargs(obs_pt_sel=None, obs_cam_sel=None):
         """Static bounds for the fused dense-layout BA (pow2-bucketed so a
         growing map re-jits O(log) times, not per call).
@@ -377,6 +379,28 @@ def reconstruct(
 
         lens = np.bincount(obs_pt_s, minlength=T)
         O = len(obs_pt_s)
+        # Memoize per bucket size: every distinct (bucket, tp, wc, tile)
+        # combination is its OWN XLA program, and letting tp/wc drift call
+        # to call at the same bucket minted ~9x more programs than buckets
+        # — the warm 1024-frame corridor build spent 143 s in BA at 2
+        # LM iters/s, mostly multi-second per-program cache loads, while
+        # the same solve at the final scale runs at 20 iters/s.  Reuse the
+        # bucket's config while it still BOUNDS the data (overflow within
+        # ov_cap, camera window within wc).
+        memo = dkw_memo.get(O)
+        if memo is not None:
+            ov_m = int(np.maximum(lens - memo["tp_cap"], 0).sum())
+            if ov_m <= memo["ov_cap"] or (ov_m == 0 and memo["ov_cap"] == 0):
+                order_m = np.argsort(obs_pt_s, kind="stable")
+                wc_m = segsum.compute_cam_window(
+                    obs_pt_s[order_m], obs_cam_s[order_m], T, C,
+                    memo["tp_cap"])
+                if wc_m <= memo["cam_window"]:
+                    stats["ba_path"] = {"mode": "dense", "memo": True,
+                                        **{k: memo[k] for k in
+                                           ("tp_cap", "ov_cap", "cam_window",
+                                            "tile_p")}, "obs": O}
+                    return dict(memo)
         # tp=128 earns its 2x compile-time: on the 1024-frame corridor
         # (30% overflow at tp=64) the overflow planes-path rows dominated
         # and dense+ov ran at 6.3 LM iters/s vs planes' 7.9 — tp=128
@@ -421,8 +445,10 @@ def reconstruct(
         stats["ba_path"] = {"mode": "dense", "tp": tp, "ov_cap": ov_cap,
                             "cam_window": wc, "tile_p": tile_p, "obs": O,
                             "overflow_frac": round(ov / max(O, 1), 3)}
-        return dict(tp_cap=tp, dense_cg=True, cam_window=wc, ov_cap=ov_cap,
-                    tile_p=tile_p)
+        dkw = dict(tp_cap=tp, dense_cg=True, cam_window=wc, ov_cap=ov_cap,
+                   tile_p=tile_p)
+        dkw_memo[O] = dkw
+        return dict(dkw)
 
     def run_ba(iters, ckpt_path=None):
         nonlocal cam_R, cam_t, X
