@@ -798,11 +798,16 @@ def reconstruct(
                 # rotation anchored on shared camera orientations: the
                 # shared structure concentrates at the frontier boundary,
                 # where point-only Umeyama is rotation/scale-degenerate
-                # (measured: 92% inlier frac, halves 15-33 deg apart)
+                # (measured: 92% inlier frac, halves 15-33 deg apart).
+                # Scale/translation gates are LOOSE here (0.25/0.10): on a
+                # drift-prone loop-free walk the two components' scales
+                # genuinely disagree by percents, and the post-fusion BA
+                # verification below is the authoritative accept/rollback.
                 reg = register_rigid_anchored(
                     cam_R[shared_c], camR_sec[shared_c],
                     np.concatenate(Pa_l), np.concatenate(Pb_l),
-                    min_point_inliers=max(8, cfg.min_init_inliers // 3))
+                    min_point_inliers=max(8, cfg.min_init_inliers // 3),
+                    agree_scale=0.25, agree_trans_frac=0.10)
             else:
                 key, sk = jax.random.split(key)
                 reg = register_points_verified(
@@ -813,6 +818,21 @@ def reconstruct(
                 {"component": comp, "new_cams": int(new_cams.sum()),
                  "fail": f"sim3 verification: {e}"})
             break
+
+        def _med_reproj_px():
+            alive_m = obs_alive_mask()
+            if not alive_m.any():
+                return float("inf")
+            err2 = np.asarray(_reproj_err2_norm(
+                jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+                jnp.asarray(obs_cam), jnp.asarray(obs_pt),
+                jnp.asarray(xn_obs, jnp.float32)))
+            return float(np.sqrt(np.median(err2[alive_m]))) * f_mean
+
+        pre_med_px = _med_reproj_px()
+        pre_snap = (registered.copy(), failed.copy(),
+                    points_at_failure.copy(), cam_R.copy(), cam_t.copy(),
+                    X.copy(), X_alive.copy(), obs_pruned.copy())
         # fuse: secondary poses/points into the primary frame (B->A world
         # similarity: R' = Rc R^T, t' = s tc - R' t, X' = s R X + t)
         X2 = reg.s * (X_sec @ reg.R.T) + reg.t
@@ -824,16 +844,31 @@ def reconstruct(
         new_pts = Xalive_sec & ~X_alive
         X[new_pts] = X2[new_pts]
         X_alive[new_pts] = True
+        failed[:] = False
+        points_at_failure[:] = -1.0
+        run_triangulation()
+        run_ba(cfg.ba_iters)
+        # the authoritative fusion verification: the similarity gates above
+        # pass plausible-but-drifted registrations through; joint BA either
+        # absorbs the disagreement (reprojection stays at the pre-fusion
+        # level) or cannot (the fused frontier is wrong) — rollback then.
+        post_med_px = _med_reproj_px()
+        if post_med_px > max(1.5 * pre_med_px, cfg.px_thresh):
+            (registered[:], failed[:], points_at_failure[:], cam_R[:],
+             cam_t[:], X[:], X_alive[:], obs_pruned[:]) = pre_snap
+            stats["components"].append(
+                {"component": comp, "new_cams": int(new_cams.sum()),
+                 "fail": ("post-fusion BA verification: median reprojection "
+                          f"{pre_med_px:.2f} -> {post_med_px:.2f} px; "
+                          "rolled back")})
+            break
         stats["components"].append(
             {"component": comp, "new_cams": int(new_cams.sum()),
              "new_points": int(new_pts.sum()),
              "reg_inliers": int(reg.inliers.sum()),
              "shared_tracks": int(shared_t.sum()),
-             "shared_cams": int(shared_c.sum())})
-        failed[:] = False
-        points_at_failure[:] = -1.0
-        run_triangulation()
-        run_ba(cfg.ba_iters)
+             "shared_cams": int(shared_c.sum()),
+             "med_px": [round(pre_med_px, 3), round(post_med_px, 3)]})
         # fused structure may unlock previously stalled cameras everywhere
         incremental_loop(all_cams)
         comp += 1
