@@ -715,6 +715,16 @@ def reconstruct(
             if callbacks:
                 callbacks(registered.copy(), X_alive.copy())
 
+    def _med_reproj_px():
+        alive_m = obs_alive_mask()
+        if not alive_m.any():
+            return float("inf")
+        err2 = np.asarray(_reproj_err2_norm(
+            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt),
+            jnp.asarray(xn_obs, jnp.float32)))
+        return float(np.sqrt(np.median(err2[alive_m]))) * f_mean
+
     # ---- primary component -------------------------------------------------
     all_cams = np.ones(C, bool)
     ok, seed_diag = try_seed(make_pair_order(all_cams))
@@ -819,16 +829,6 @@ def reconstruct(
                  "fail": f"sim3 verification: {e}"})
             break
 
-        def _med_reproj_px():
-            alive_m = obs_alive_mask()
-            if not alive_m.any():
-                return float("inf")
-            err2 = np.asarray(_reproj_err2_norm(
-                jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
-                jnp.asarray(obs_cam), jnp.asarray(obs_pt),
-                jnp.asarray(xn_obs, jnp.float32)))
-            return float(np.sqrt(np.median(err2[alive_m]))) * f_mean
-
         pre_med_px = _med_reproj_px()
         pre_snap = (registered.copy(), failed.copy(),
                     points_at_failure.copy(), cam_R.copy(), cam_t.copy(),
@@ -907,5 +907,6 @@ def reconstruct(
     )
     stats["n_registered"] = int(registered.sum())
     stats["n_points"] = int(X_alive.sum())
+    stats["final_med_px"] = round(_med_reproj_px(), 4)
     stats["phase_s"] = {k: round(v, 2) for k, v in phase_s.items()}
     return scene, stats
