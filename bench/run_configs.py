@@ -139,6 +139,10 @@ def config2_scale(frames: int):
             "-D", "features.max_keypoints=512",
             "-D", "resize_to=320,240", "-D", "focal_factor=0.875",
             "-D", f"recon.seed={args.seed}",
+            # long loop-free walks accumulate drift that only the global
+            # final BA corrects; with the fused dense path at the 20+
+            # iters/s class the extra iterations cost seconds
+            "-D", f"recon.final_ba_iters={50 if frames >= 512 else 25}",
         ])
     finally:
         LOGGER._stream = old_stream
