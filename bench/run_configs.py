@@ -160,7 +160,8 @@ def config2_scale(frames: int):
         if rec.get("stage") == "reconstruct":
             recon_detail = {k: rec.get(k) for k in
                             ("ba_path", "components", "phase_s",
-                             "ba_iters_per_s", "ba_total_s", "n_rounds")
+                             "ba_iters_per_s", "ba_total_s", "n_rounds",
+                             "final_med_px")
                             if rec.get(k) is not None}
 
     scene = load_scene(str(tmp / "map"))
