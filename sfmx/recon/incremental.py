@@ -503,6 +503,9 @@ def reconstruct(
         # cumulative real-build BA throughput (proves which path carried it)
         wall = _time.time() - t_ba
         phase_s["ba"] += wall
+        if len(stats.setdefault("ba_call_s", [])) < 64:
+            stats["ba_call_s"].append(
+                [len(obs_pt_s), iters, round(wall, 2)])
         stats["ba_total_s"] = round(stats.get("ba_total_s", 0.0) + wall, 2)
         stats["ba_total_iters"] = stats.get("ba_total_iters", 0) + iters
         stats["ba_iters_per_s"] = round(

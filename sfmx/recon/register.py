@@ -400,27 +400,38 @@ def register_rigid_anchored(
     sgn = np.sign(np.linalg.det(U @ Vt))
     R = U @ np.diag([1.0, 1.0, sgn]) @ Vt         # B->A rotation
 
-    # closed-form (s, T) given R: min sum ||Pa - (s R Pb + T)||^2
+    # robust (s, T) given R: a plain least-squares fit is dragged by
+    # aliased shared-track outliers (measured: rotation anchored to 0.7 deg
+    # across 29 cameras while LS (s,T) kept 7 of 107 point inliers) — with
+    # R fixed, 2-point minimal samples give s from the pair's distance
+    # ratio and T from the pair midpoint; RANSAC those, refit on inliers.
     if len(Pa) < 3:
         diag["fail"] = f"too few point correspondences ({len(Pa)})"
         raise RegistrationError("anchored registration failed", [diag])
     Qb = Pb @ R.T
-    mu_a = Pa.mean(0)
-    mu_q = Qb.mean(0)
-    qa = ((Pa - mu_a) * (Qb - mu_q)).sum()
-    qq = ((Qb - mu_q) ** 2).sum()
-    s = float(qa / max(qq, 1e-12))
-    if s <= 0:
-        diag["fail"] = f"non-positive scale {s:.4f}"
-        raise RegistrationError("anchored registration failed", [diag])
-    T = mu_a - s * mu_q
     if extent is None:
         extent = float(np.linalg.norm(Pa.max(0) - Pa.min(0)))
     thresh = inlier_frac_of_extent * max(extent, 1e-9)
-    resid = np.linalg.norm(Pa - (s * Qb + T), axis=1)
-    inl = resid < thresh
+    rng_st = np.random.default_rng(0)
+    M = len(Pa)
+    n_hyp = min(256, M * (M - 1))
+    ii = rng_st.integers(0, M, n_hyp)
+    jj = rng_st.integers(0, M - 1, n_hyp)
+    jj = np.where(jj >= ii, jj + 1, jj)
+    da = np.linalg.norm(Pa[ii] - Pa[jj], axis=1)
+    dq = np.linalg.norm(Qb[ii] - Qb[jj], axis=1)
+    s_h = da / np.maximum(dq, 1e-12)                       # (H,)
+    T_h = 0.5 * (Pa[ii] + Pa[jj]) - s_h[:, None] * 0.5 * (Qb[ii] + Qb[jj])
+    resid_h = np.linalg.norm(
+        Pa[None, :, :] - (s_h[:, None, None] * Qb[None, :, :]
+                          + T_h[:, None, :]), axis=2)      # (H,M)
+    cnt_h = (resid_h < thresh).sum(1)
+    best = int(np.argmax(cnt_h))
+    inl = resid_h[best] < thresh
     diag["inliers"] = int(inl.sum())
     diag["inlier_frac"] = round(float(inl.mean()), 3)
+    s = float(s_h[best])
+    T = T_h[best]
     if int(inl.sum()) < min_point_inliers or inl.mean() < 0.25:
         diag["fail"] = (f"support gate: {int(inl.sum())} point inliers "
                         f"({inl.mean():.2f})")
