@@ -349,4 +349,5 @@ def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarr
         out["ba_path"] = stats.get("ba_path")
         out["components"] = stats.get("components")
         out["phase_s"] = stats.get("phase_s")
+        out["ba_call_s"] = stats.get("ba_call_s")
     return scene, feats, tt, stats

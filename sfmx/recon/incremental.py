@@ -820,7 +820,7 @@ def reconstruct(
                     cam_R[shared_c], camR_sec[shared_c],
                     np.concatenate(Pa_l), np.concatenate(Pb_l),
                     min_point_inliers=max(8, cfg.min_init_inliers // 3),
-                    agree_scale=0.25, agree_trans_frac=0.10)
+                    agree_scale=None, agree_trans_frac=None)
             else:
                 key, sk = jax.random.split(key)
                 reg = register_points_verified(

@@ -351,7 +351,7 @@ def register_rigid_anchored(
     Ra, Rb, Pa, Pb, *, extent: float | None = None,
     rot_inlier_deg: float = 10.0, min_rot_inliers: int = 3,
     min_point_inliers: int = 8, inlier_frac_of_extent: float = 0.02,
-    agree_scale: float = 0.05, agree_trans_frac: float = 0.03,
+    agree_scale: float | None = 0.05, agree_trans_frac: float | None = 0.03,
 ) -> RegResult:
     """Sim3 B->A anchored on shared CAMERA ORIENTATIONS (in-session
     component fusion).
@@ -445,7 +445,12 @@ def register_rigid_anchored(
     ii = np.flatnonzero(inl)
     s, T = fit_st(ii)
     h1, h2 = ii[0::2], ii[1::2]
-    if len(h1) >= 3 and len(h2) >= 3:
+    # agree_* None disables the split-half gate: in-session fusion has a
+    # stronger downstream verifier (post-fusion BA reprojection rollback),
+    # and the (s,T) stability statistic keeps misfiring on thin shared
+    # regions where scale has no lever arm
+    if (agree_scale is not None and agree_trans_frac is not None
+            and len(h1) >= 3 and len(h2) >= 3):
         s1_, T1 = fit_st(h1)
         s2_, T2 = fit_st(h2)
         dscale = abs(s1_ / max(s2_, 1e-12) - 1.0)
