@@ -161,7 +161,7 @@ def config2_scale(frames: int):
             recon_detail = {k: rec.get(k) for k in
                             ("ba_path", "components", "phase_s",
                              "ba_iters_per_s", "ba_total_s", "n_rounds",
-                             "final_med_px", "ba_call_s")
+                             "final_med_px", "ba_call_s", "ba_fallbacks")
                             if rec.get(k) is not None}
 
     scene = load_scene(str(tmp / "map"))

@@ -350,4 +350,5 @@ def build_map(images: np.ndarray | None, intrinsics: np.ndarray, cam_k: np.ndarr
         out["components"] = stats.get("components")
         out["phase_s"] = stats.get("phase_s")
         out["ba_call_s"] = stats.get("ba_call_s")
+        out["ba_fallbacks"] = stats.get("ba_fallbacks")
     return scene, feats, tt, stats

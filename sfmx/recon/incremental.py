@@ -387,6 +387,11 @@ def reconstruct(
         # the same solve at the final scale runs at 20 iters/s.  Reuse the
         # bucket's config while it still BOUNDS the data (overflow within
         # ov_cap, camera window within wc).
+        if O in dkw_memo and dkw_memo[O] is None:
+            # blacklisted: this bucket's dense config failed to compile
+            stats["ba_path"] = {"mode": "planes",
+                                "why": "dense compile failed at this bucket"}
+            return {}
         memo = dkw_memo.get(O)
         if memo is not None:
             ov_m = int(np.maximum(lens - memo["tp_cap"], 0).sum())
@@ -482,19 +487,36 @@ def reconstruct(
             jnp.asarray(obs_uv[sel], jnp.float32),
             jnp.asarray(w), jnp.asarray(fixed))
         dkw = dense_ba_kwargs(obs_pt_s, obs_cam_s)
-        if ckpt_path is not None:
-            # checkpointed final solve: chunks + resume (SURVEY §5.3)
-            from ..solvers import ba_ckpt
 
-            R2, t2, X2, costs, _ = ba_ckpt.ba_solve_checkpointed(
-                *ba_args, total_iters=iters,
-                ckpt_every=cfg.final_ba_ckpt_every, ckpt_path=ckpt_path,
-                cg_iters=cfg.cg_iters, huber_px=cfg.huber_px, **dkw)
-        else:
-            R2, t2, X2, costs = lm.ba_solve(
-                *ba_args,
-                iters=iters, cg_iters=cfg.cg_iters, huber_px=cfg.huber_px,
-                **dkw)
+        def _solve(kw):
+            if ckpt_path is not None:
+                # checkpointed final solve: chunks + resume (SURVEY §5.3)
+                from ..solvers import ba_ckpt
+
+                return ba_ckpt.ba_solve_checkpointed(
+                    *ba_args, total_iters=iters,
+                    ckpt_every=cfg.final_ba_ckpt_every, ckpt_path=ckpt_path,
+                    cg_iters=cfg.cg_iters, huber_px=cfg.huber_px, **kw)[:4]
+            return lm.ba_solve(
+                *ba_args, iters=iters, cg_iters=cfg.cg_iters,
+                huber_px=cfg.huber_px, **kw)
+
+        try:
+            R2, t2, X2, costs = _solve(dkw)
+        except Exception as e:
+            if not dkw:
+                raise
+            # fused-path compile failure (the VMEM fence is empirical and
+            # the remote compiler's scoped accounting has slack we cannot
+            # model exactly): fall back to the planes path for this call
+            # and blacklist this bucket's dense config — a build must
+            # degrade, never die, on a fence miss
+            dkw_memo[len(obs_pt_s)] = None
+            stats.setdefault("ba_fallbacks", []).append(
+                {"obs": len(obs_pt_s),
+                 "dkw": {k: v for k, v in dkw.items() if k != "dense_cg"},
+                 "err": str(e)[:200]})
+            R2, t2, X2, costs = _solve({})
         # np.array (copy): jax->numpy views are read-only, host state is mutable
         cam_R = np.array(R2)
         cam_t = np.array(t2)
