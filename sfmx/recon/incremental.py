@@ -455,7 +455,7 @@ def reconstruct(
         dkw_memo[O] = dkw
         return dict(dkw)
 
-    def run_ba(iters, ckpt_path=None):
+    def run_ba(iters, ckpt_path=None, huber_scale=1.0, prune=True):
         nonlocal cam_R, cam_t, X
         t_ba = _time.time()
         alive = obs_alive_mask()
@@ -496,10 +496,11 @@ def reconstruct(
                 return ba_ckpt.ba_solve_checkpointed(
                     *ba_args, total_iters=iters,
                     ckpt_every=cfg.final_ba_ckpt_every, ckpt_path=ckpt_path,
-                    cg_iters=cfg.cg_iters, huber_px=cfg.huber_px, **kw)[:4]
+                    cg_iters=cfg.cg_iters,
+                    huber_px=cfg.huber_px * huber_scale, **kw)[:4]
             return lm.ba_solve(
                 *ba_args, iters=iters, cg_iters=cfg.cg_iters,
-                huber_px=cfg.huber_px, **kw)
+                huber_px=cfg.huber_px * huber_scale, **kw)
 
         try:
             R2, t2, X2, costs = _solve(dkw)
@@ -532,15 +533,22 @@ def reconstruct(
         stats["ba_total_iters"] = stats.get("ba_total_iters", 0) + iters
         stats["ba_iters_per_s"] = round(
             stats["ba_total_iters"] / max(stats["ba_total_s"], 1e-9), 2)
-        # prune observations with large error; kill starved points
-        err2 = np.asarray(_reproj_err2_norm(
-            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
-            jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(xn_obs, jnp.float32),
-        ))
-        obs_pruned[:] |= (err2 > thresh_n * 4.0) & obs_alive_mask()
-        alive = obs_alive_mask()
-        obs_count = np.bincount(obs_pt[alive], minlength=T)
-        X_alive[obs_count < cfg.min_track_views] = False
+        # prune observations with large error; kill starved points.
+        # prune=False exists for the fusion-BA anneal: right after a sim3
+        # fuse, the CROSS-component observations are exactly the
+        # large-residual ones, and pruning them here would cut the hinge
+        # that constrains the fused geometry (seed-2 corridor: hinge obs
+        # pruned -> final BA bent the map to 8.8 m ATE at 0.29 px median
+        # reprojection).
+        if prune:
+            err2 = np.asarray(_reproj_err2_norm(
+                jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(X),
+                jnp.asarray(obs_cam), jnp.asarray(obs_pt), jnp.asarray(xn_obs, jnp.float32),
+            ))
+            obs_pruned[:] |= (err2 > thresh_n * 4.0) & obs_alive_mask()
+            alive = obs_alive_mask()
+            obs_count = np.bincount(obs_pt[alive], minlength=T)
+            X_alive[obs_count < cfg.min_track_views] = False
 
     stats = {"ransac_inliers": [], "ba_costs": [], "components": [],
              "phase_s": phase_s, "n_rounds": 0}
@@ -872,13 +880,24 @@ def reconstruct(
         failed[:] = False
         points_at_failure[:] = -1.0
         run_triangulation()
-        run_ba(cfg.ba_iters)
+        # Annealed-Huber fusion BA, pruning deferred: a slightly-off sim3
+        # puts ALL cross-component residuals past huber_px, where Huber's
+        # linear tail barely pulls — BA then converges bent-but-consistent
+        # (and the pruning pass would delete the hinge outright).  Widening
+        # Huber first makes the hinge quadratic again so the long-wavelength
+        # correction actually happens; pruning waits for the gate.
+        run_ba(cfg.ba_iters, huber_scale=8.0, prune=False)
+        run_ba(cfg.ba_iters, huber_scale=2.0, prune=False)
+        run_ba(cfg.ba_iters, prune=False)
         # the authoritative fusion verification: the similarity gates above
         # pass plausible-but-drifted registrations through; joint BA either
-        # absorbs the disagreement (reprojection stays at the pre-fusion
+        # absorbs the disagreement (reprojection returns to the pre-fusion
         # level) or cannot (the fused frontier is wrong) — rollback then.
+        # The old absolute escape hatch (cfg.px_thresh = 4 px) accepted the
+        # seed-2 corridor's bent fusions at 1.35-2.40 px; the floor is now
+        # 0.25 * px_thresh = 1 px.
         post_med_px = _med_reproj_px()
-        if post_med_px > max(1.5 * pre_med_px, cfg.px_thresh):
+        if post_med_px > max(1.5 * pre_med_px, 0.25 * cfg.px_thresh):
             (registered[:], failed[:], points_at_failure[:], cam_R[:],
              cam_t[:], X[:], X_alive[:], obs_pruned[:]) = pre_snap
             stats["components"].append(
