@@ -63,7 +63,7 @@ def build_pairs(n_images: int, mode: str, window: int) -> np.ndarray:
 
 
 def build_pairs_retrieval(feats, n_images: int, *, k: int = 8, window: int = 8,
-                          seed: int = 0, n_words: int = 16) -> np.ndarray:
+                          seed: int = 0, n_words: int = 64) -> np.ndarray:
     """Retrieval-limited pair selection (SURVEY C3): VLAD global descriptors
     propose the top-k most-similar frames per image, unioned with a temporal
     window.  O(N·k) pairs instead of O(N²), and — unlike a pure window —

@@ -71,7 +71,10 @@ def _majority_bits(feat_bits: np.ndarray, obs_cam, obs_feat, obs_pt,
 def build_localization_map(scene: Scene, feat_desc: np.ndarray,
                            obs_feat: np.ndarray, kf_lm_cap: int = 512,
                            kp_mask: np.ndarray | None = None,
-                           use_vlad: bool = True, n_words: int = 16,
+                           use_vlad: bool = True, n_words: int = 64,  # 64: strict recall@8
+                           # 0.875->1.0 on the 1024-frame corridor
+                           # (bench_scripts/recall_vocab.py; 128 over-
+                           # fragments and drops back to 0.938)
                            seed: int = 0,
                            feat_bits: np.ndarray | None = None) -> LocalizationMap:
     """Aggregate per-feature descriptors into the serving map (host-side, once).
