@@ -783,6 +783,12 @@ def reconstruct(
     has_tracks = np.array([len(cam_tracks[c]) > 0 for c in range(C)])
     n_possible = max(int(has_tracks.sum()), 1)
     comp = 1
+    # a rolled-back fusion retries ONCE with a doubled bridge: the failure
+    # mode is a too-thin hinge (few shared cams/tracks at a doorway), and
+    # more bridge cameras give the secondary more shared structure to
+    # anchor and more cross-observations to constrain the fused BA
+    fuse_attempts = 0
+    bridge_n = cfg.bridge_cams
     while (comp < cfg.max_components
            and registered.sum() < cfg.coverage_target * n_possible):
         U = has_tracks & ~registered
@@ -804,7 +810,7 @@ def reconstruct(
         np.add.at(bscore, prs_all[in_u_b & reg_a, 0],
                   pcnt_all[in_u_b & reg_a])
         bridge = np.zeros(C, bool)
-        top_b = np.argsort(-bscore)[:cfg.bridge_cams]
+        top_b = np.argsort(-bscore)[:bridge_n]
         bridge[top_b] = bscore[top_b] > 0
         allowed2 = U | bridge
         # fresh state for the secondary component
@@ -826,7 +832,11 @@ def reconstruct(
             stats["components"].append(
                 {"component": comp,
                  "fail": diag2 or "secondary registered no new cameras"})
-            break
+            fuse_attempts += 1
+            bridge_n *= 2
+            if fuse_attempts >= 2:
+                break
+            continue
         shared_t = X_alive & Xalive_sec
         shared_c = registered & reg_sec
         Pa_l = [X[shared_t]]
@@ -860,7 +870,11 @@ def reconstruct(
             stats["components"].append(
                 {"component": comp, "new_cams": int(new_cams.sum()),
                  "fail": f"sim3 verification: {e}"})
-            break
+            fuse_attempts += 1
+            bridge_n *= 2
+            if fuse_attempts >= 2:
+                break
+            continue
 
         pre_med_px = _med_reproj_px()
         pre_snap = (registered.copy(), failed.copy(),
@@ -905,7 +919,11 @@ def reconstruct(
                  "fail": ("post-fusion BA verification: median reprojection "
                           f"{pre_med_px:.2f} -> {post_med_px:.2f} px; "
                           "rolled back")})
-            break
+            fuse_attempts += 1
+            bridge_n *= 2
+            if fuse_attempts >= 2:
+                break
+            continue
         stats["components"].append(
             {"component": comp, "new_cams": int(new_cams.sum()),
              "new_points": int(new_pts.sum()),
@@ -916,6 +934,8 @@ def reconstruct(
         # fused structure may unlock previously stalled cameras everywhere
         incremental_loop(all_cams)
         comp += 1
+        fuse_attempts = 0
+        bridge_n = cfg.bridge_cams
 
     run_ba(cfg.final_ba_iters, ckpt_path=cfg.final_ba_ckpt)
 
