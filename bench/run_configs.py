@@ -45,6 +45,8 @@ p.add_argument("--scene", default="room", choices=["room", "corridor"],
                     "locality for the config-4 block-BA proof)")
 p.add_argument("--seed", type=int, default=0,
                help="reconstruction PRNG seed (seed-robustness proofs)")
+p.add_argument("--final-ba-iters", type=int, default=0,
+               help="override final BA iterations (0 = stage default)")
 p.add_argument("--rooms", type=int, default=4,
                help="corridor room count (config-4 5k-frame scale uses more)")
 args = p.parse_args()
@@ -142,7 +144,8 @@ def config2_scale(frames: int):
             # long loop-free walks accumulate drift that only the global
             # final BA corrects; with the fused dense path at the 20+
             # iters/s class the extra iterations cost seconds
-            "-D", f"recon.final_ba_iters={50 if frames >= 512 else 25}",
+            "-D", ("recon.final_ba_iters="
+                   f"{args.final_ba_iters or (50 if frames >= 512 else 25)}"),
         ])
     finally:
         LOGGER._stream = old_stream
