@@ -900,9 +900,14 @@ def reconstruct(
         # (and the pruning pass would delete the hinge outright).  Widening
         # Huber first makes the hinge quadratic again so the long-wavelength
         # correction actually happens; pruning waits for the gate.
-        run_ba(cfg.ba_iters, huber_scale=8.0, prune=False)
-        run_ba(cfg.ba_iters, huber_scale=2.0, prune=False)
-        run_ba(cfg.ba_iters, prune=False)
+        # 25 iterations per anneal stage: the correction is long-wavelength
+        # (a degree of hinge error bends the far end by meters) and 10-iter
+        # stages measured stuck at ~1.7 px post-fusion where more LM
+        # iterations keep converging; warm calls cost ~0.12 s / iter here
+        fuse_iters = max(cfg.ba_iters, 25)
+        run_ba(fuse_iters, huber_scale=8.0, prune=False)
+        run_ba(fuse_iters, huber_scale=2.0, prune=False)
+        run_ba(fuse_iters, prune=False)
         # the authoritative fusion verification: the similarity gates above
         # pass plausible-but-drifted registrations through; joint BA either
         # absorbs the disagreement (reprojection returns to the pre-fusion
