@@ -43,12 +43,52 @@ class StageCache:
             if p.exists():
                 LOGGER.log(name, cached=True, key=key)
                 with open(p, "rb") as f:
-                    return pickle.load(f)
+                    return _cache_decode(pickle.load(f))
         out = fn()
         if self.dir:
             with open(p, "wb") as f:
-                pickle.dump(out, f)
+                pickle.dump(_cache_encode(out), f)
         return out
+
+
+def _cache_encode(out):
+    """Sparse-pack MatchResult stage outputs before pickling: the dense
+    (Np, K) idx/valid/score arrays are ~1-3% valid after the ratio test
+    and cross-check, and the dense pickle measured 3.0 GB per stage at a
+    5,000-frame build (config-4) — ~45 GB at config-5's 20k images.  Only
+    the accepted entries survive a (row, col, idx, score) COO encoding."""
+    from ..kernels.matching import MatchResult
+
+    if isinstance(out, MatchResult):
+        valid = np.asarray(out.valid)
+        r, c = np.nonzero(valid)
+        return {"__match_coo__": True, "shape": valid.shape,
+                "row": r.astype(np.int32), "col": c.astype(np.int32),
+                "idx": np.asarray(out.idx)[r, c],
+                "score": np.asarray(out.score)[r, c]}
+    if isinstance(out, tuple) and any(
+            isinstance(o, MatchResult) for o in out):
+        return tuple(_cache_encode(o) for o in out)
+    return out
+
+
+def _cache_decode(out):
+    from ..kernels.matching import MatchResult
+
+    if isinstance(out, dict) and out.get("__match_coo__"):
+        import jax.numpy as jnp
+
+        idx = np.zeros(out["shape"], np.int32)
+        valid = np.zeros(out["shape"], bool)
+        score = np.full(out["shape"], -1e30, np.float32)
+        idx[out["row"], out["col"]] = out["idx"]
+        valid[out["row"], out["col"]] = True
+        score[out["row"], out["col"]] = out["score"]
+        return MatchResult(idx=jnp.asarray(idx), valid=jnp.asarray(valid),
+                           score=jnp.asarray(score))
+    if isinstance(out, tuple):
+        return tuple(_cache_decode(o) for o in out)
+    return out
 
 
 def build_pairs(n_images: int, mode: str, window: int) -> np.ndarray:
