@@ -131,6 +131,47 @@ def matching_throughput(peak_tflops):
     return pairs_per_s, mfu
 
 
+def matching_throughput_band(peak_tflops):
+    """Matching throughput on the pair DISTRIBUTION map building actually
+    produces: a temporal band (window pairs) + retrieval extras over a
+    256-image set (cli/pipeline.py:build_pairs_retrieval).  Dispatches via
+    the production auto entry, which routes band tiles through the
+    tile-batched kernel (kernels/pallas_tiles.py) and sparse leftovers
+    through the per-pair kernel.  The legacy `matching_pairs_per_s` metric
+    (random pairs, per-pair kernel) is kept for round-over-round
+    comparability."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfmx.kernels import features, matching
+
+    C, K, D = 256, K_FEAT, features.N_FLOAT_DIM
+    rng = np.random.default_rng(0)
+    descs = rng.standard_normal((C, K, D)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=-1, keepdims=True)
+    masks = jnp.asarray(np.ones((C, K), bool))
+    pairs = {(a, b) for a in range(C) for b in range(a + 1, min(a + 27, C))}
+    pairs |= {(int(rng.integers(0, C // 2)), int(rng.integers(C // 2, C)))
+              for _ in range(C * 6)}
+    pairs = np.array(sorted(pairs), np.int32)
+    descs = jnp.asarray(descs)
+
+    def fn():
+        return matching.match_pairs_float_auto(descs, masks, pairs)
+
+    out = fn()
+    _force(out.score)
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn()
+    _force(out.score)
+    dt = (time.time() - t0) / reps
+    pairs_per_s = len(pairs) / dt
+    mfu = pairs_per_s * 2.0 * K * K * D / (peak_tflops * 1e12)
+    return pairs_per_s, mfu
+
+
 def ba_throughput(hbm_gbps):
     """Global BA at config-3 scale (512 cams / 20k pts / 200k obs,
     Schur-complement LM + 30-iter PCG) through the PRODUCTION path: the
@@ -562,6 +603,9 @@ def main():
         pps, mfu = matching_throughput(tflops)
         extras["matching_pairs_per_s"] = round(pps, 1)
         extras["matching_mfu"] = round(mfu, 3)
+        bpps, bmfu = matching_throughput_band(tflops)
+        extras["matching_band_pairs_per_s"] = round(bpps, 1)
+        extras["matching_band_mfu"] = round(bmfu, 3)
         ips, frac = ba_throughput(gbps)
         extras["ba_lm_iters_per_s"] = round(ips, 2)
         extras["ba_hbm_roofline_frac"] = round(frac, 3)

@@ -108,9 +108,20 @@ def match_pairs_float_auto(descs: jax.Array, masks: jax.Array,
                            kernel: str = "auto") -> MatchResult:
     """Backend-dispatched pairwise matching (the production entry).
 
-    kernel="pallas" forces the VMEM-tile kernel (pallas_pairs.py — one MXU
-    tile per pair, no HBM (Np,K,K) tensor), "dense" the jnp oracle; "auto"
-    picks pallas on TPU when shapes are tile-aligned.
+    kernel="pallas" forces the per-pair VMEM-tile kernel (pallas_pairs.py —
+    one MXU tile per pair, no HBM (Np,K,K) tensor), "tiles" the
+    tile-batched kernel (pallas_tiles.py — descriptor blocks DMA'd once per
+    (A-tile, B-tile) and shared by all pairs inside), "dense" the jnp
+    oracle; "auto" picks pallas on TPU when shapes are tile-aligned.
+
+    The tiled kernel is OPT-IN, not auto: despite moving 8x fewer
+    descriptor bytes per pair, it measures ~83k pairs/s vs the per-pair
+    kernel's ~263k on this chip — its fori_loop pair bodies run ~7 us
+    each where the per-pair kernel's 8-way unrolled bodies run ~2.5 us
+    (Mosaic pipelines unrolled bodies across the MXU/VPU but serializes
+    loop iterations), and unrolling inside the tile blows the 16 MB VMEM
+    stack (measured 30 MB at 64 bodies).  On a backend where loop bodies
+    pipeline, the DMA economics favor tiles; keep both.
     """
     K, D = descs.shape[1], descs.shape[2]
     aligned = K % 8 == 0 and D % 128 == 0
@@ -123,9 +134,14 @@ def match_pairs_float_auto(descs: jax.Array, masks: jax.Array,
     vmem_bytes = (2 * G * K * D * 4 + 2 * G * 8 * K * 4
                   + 4 * K * K + 2 * K * K + 4 * K * D)
     fits_vmem = vmem_bytes <= 12 * 1024 * 1024
+    on_tpu = jax.default_backend() == "tpu"
+    if kernel == "tiles":
+        from .pallas_tiles import match_pairs_float_tiled
+
+        return match_pairs_float_tiled(descs, masks, pairs, ratio=ratio,
+                                       cross_check=cross_check)
     use_pallas = kernel == "pallas" or (
-        kernel == "auto" and aligned and fits_vmem
-        and jax.default_backend() == "tpu")
+        kernel == "auto" and aligned and fits_vmem and on_tpu)
     if use_pallas:
         from .pallas_pairs import match_pairs_float_pallas
 
