@@ -19,8 +19,13 @@ class FeatureConfig:
     threshold: float = 1e-7   # det-Hessian threshold; SIFT uses |DoG| (~0.015)
     sigma_levels: tuple = (2, 3, 4, 5, 6)
     oriented: bool = False    # upright default (gravity-aligned indoor rigs)
-    n_octaves: int = 1        # 2x-downsampled octaves; >1 widens the scale
-    #                           band (reference AKAZE spans 4 octaves)
+    n_octaves: int = 2        # 2x-downsampled octaves; >1 widens the scale
+    #                           band (reference AKAZE spans 4 octaves).
+    #                           2 measured +22% extraction cost on-chip
+    #                           (bench_scripts/octave_cost.py) and is the
+    #                           production default per the <30% rule; far
+    #                           queries at 2.7x map scale need 3
+    #                           (tests/test_multioctave_e2e.py)
 
 
 @dataclasses.dataclass(frozen=True)
