@@ -435,6 +435,13 @@ def reconstruct(
         # {32,512,256},{64,256,1024},{128,128,1024}; OOM: {64,512,1024},
         # {128,256,~512},{256,128,1024}.  Safe region: tp*tile_p <= 16384
         # AND wc*tile_p <= 262144.
+        # config-4+ scale note: long tracks across distant cameras push wc
+        # to 4096, where no tile fits the fence (tile_p=64 is Mosaic-
+        # infeasible — tile_p is a LANE dim in the cost kernel, min 128)
+        # and BA falls back to planes (measured 1.49 iters/s for 430 s of
+        # the 5k-frame build).  The fix is demoting wide-window points'
+        # observations to the exact overflow chain (it needs no camera
+        # window) so wc stays bounded — a packer change, stated open.
         tile_p = None
         for cand_t in (512, 256, 128):
             if tp * cand_t <= 16384 and wc * cand_t <= 262144:
