@@ -28,9 +28,17 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def run_cli(args, cache, timeout=1800):
+def run_cli(args, cache, canon, timeout=1800, wipe_canon=False):
+    """Run a CLI command with SFMX_JAX_CACHE=cache and a pinned canonical
+    dir.  wipe_canon simulates a fresh machine: the fixed canonical path
+    starts empty, so only what `cache` ships (merged in at startup) hits.
+    The canonical STRING stays constant across scenarios — on this backend
+    it is part of the compile key (see cli/main._enable_compile_cache)."""
     env = dict(os.environ)
     env["SFMX_JAX_CACHE"] = str(cache)
+    env["SFMX_CACHE_CANONICAL"] = str(canon)
+    if wipe_canon:
+        shutil.rmtree(canon, ignore_errors=True)
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "sfmx.cli.main", *args],
@@ -73,36 +81,45 @@ def main():
     common = ["-D", "features.max_keypoints=512", "-D", "resize_to=320,240",
               "-D", "focal_factor=0.875"]
 
+    # one canonical path for the WHOLE experiment: the builder and the
+    # deploy target must configure the same canonical string for shipped
+    # entries to hit (production default: cli/main.CANONICAL_CACHE)
+    canon = root / "canon"
+
     # prime: build + localize once so the cache holds both program sets
     prime = root / "prime_cache"
     build_s, _ = run_cli(["build-map", str(root / "imgs"), "-o",
-                          str(root / "map"), *common], prime)
+                          str(root / "map"), *common], prime, canon,
+                         wipe_canon=True)
     prime_loc_s, _ = run_cli(["localize", str(root / "map"),
-                              str(root / "query"), *common], prime)
+                              str(root / "query"), *common], prime, canon)
 
     _, out = run_cli(["bundle", str(root / "map"), "-o",
                       str(root / "deploy.tar.gz"), "--cache", str(prime)],
-                     prime)
+                     prime, canon)
     bundle_info = json.loads(out.strip().splitlines()[-1])
 
-    # scenario A: true cold (empty cache)
+    # scenario A: true cold (fresh machine, empty cache)
     cold_cache = root / "cold_cache"
     cold_cache.mkdir()
     true_cold_s, _ = run_cli(["localize", str(root / "map"),
-                              str(root / "query"), *common], cold_cache)
+                              str(root / "query"), *common], cold_cache,
+                             canon, wipe_canon=True)
 
-    # scenario B: shipped bundle on a "fresh machine"
+    # scenario B: shipped bundle on a "fresh machine" (canonical wiped;
+    # only the unbundled cache merges in)
     dest = root / "deployed"
     _, out = run_cli(["unbundle", str(root / "deploy.tar.gz"), "-d",
-                      str(dest)], cold_cache)
+                      str(dest)], cold_cache, canon)
     info = json.loads(out.strip().splitlines()[-1])
     shipped_cold_s, _ = run_cli(["localize", info["maps"][0],
                                  str(root / "query"), *common],
-                                Path(info["cache"]))
+                                Path(info["cache"]), canon,
+                                wipe_canon=True)
 
     # scenario C: warm rerun on the shipped cache
     warm_s, _ = run_cli(["localize", info["maps"][0], str(root / "query"),
-                         *common], Path(info["cache"]))
+                         *common], Path(info["cache"]), canon)
 
     report = {
         "frames": args.frames,

@@ -356,6 +356,28 @@ def cmd_unbundle(args):
         "env": f"SFMX_JAX_CACHE={cache}"}))
 
 
+CANONICAL_CACHE = "/tmp/sfmx_jax_cache"
+
+
+def _merge_cache(src: str, dst: str):
+    """Copy cache entries src -> dst (hardlink when possible, skip
+    existing).  Entry files are content-addressed by name, so a merge is
+    just a union."""
+    import os
+    import shutil
+
+    if not os.path.isdir(src) or os.path.realpath(src) == os.path.realpath(dst):
+        return
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        s, d = os.path.join(src, f), os.path.join(dst, f)
+        if os.path.isfile(s) and not os.path.exists(d):
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache for every CLI entry point.
 
@@ -366,7 +388,18 @@ def _enable_compile_cache():
     (and the judge's config harnesses) must never silently pay that twice.
     Override the location with SFMX_JAX_CACHE; disable with
     SFMX_JAX_CACHE=off.
+
+    CANONICAL-PATH INDIRECTION (measured, round 5): on this remote-compile
+    backend the configured cache-directory STRING is part of the compile
+    key — byte-identical cache entries in a renamed directory miss and the
+    same programs re-key (bench_scripts/cold_deploy.py exposed it: a
+    shipped bundle's cache bought 0 s).  jax therefore always points at a
+    FIXED path (override: SFMX_CACHE_CANONICAL) and the user-facing cache
+    directory is merged in at startup and harvested back at exit, so cache
+    entries survive reboots in SFMX_JAX_CACHE while every process compiles
+    under the same embedded string.
     """
+    import atexit
     import os
 
     loc = os.environ.get("SFMX_JAX_CACHE", "")
@@ -377,9 +410,13 @@ def _enable_compile_cache():
     if not loc:
         loc = os.path.join(os.path.expanduser("~"), ".cache", "sfmx",
                            "jax_cache")
+    canon = os.environ.get("SFMX_CACHE_CANONICAL", CANONICAL_CACHE)
     try:
-        jax.config.update("jax_compilation_cache_dir", loc)
+        os.makedirs(canon, exist_ok=True)
+        _merge_cache(loc, canon)
+        jax.config.update("jax_compilation_cache_dir", canon)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        atexit.register(_merge_cache, canon, loc)
     except Exception:
         pass  # older jax without the knobs: cold compiles, still correct
 
