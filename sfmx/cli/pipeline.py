@@ -66,8 +66,9 @@ def _cache_encode(out):
                 "row": r.astype(np.int32), "col": c.astype(np.int32),
                 "idx": np.asarray(out.idx)[r, c],
                 "score": np.asarray(out.score)[r, c]}
-    if isinstance(out, tuple) and any(
-            isinstance(o, MatchResult) for o in out):
+    # PLAIN tuples only: other NamedTuple stage outputs (Features, ...)
+    # must survive as their own types
+    if type(out) is tuple and any(isinstance(o, MatchResult) for o in out):
         return tuple(_cache_encode(o) for o in out)
     return out
 
@@ -86,7 +87,7 @@ def _cache_decode(out):
         score[out["row"], out["col"]] = out["score"]
         return MatchResult(idx=jnp.asarray(idx), valid=jnp.asarray(valid),
                            score=jnp.asarray(score))
-    if isinstance(out, tuple):
+    if type(out) is tuple:
         return tuple(_cache_decode(o) for o in out)
     return out
 

@@ -36,7 +36,7 @@ def _build(seed_data=3):
     return scene, stats
 
 
-TIMING_KEYS = {"phase_s", "ba_total_s", "ba_iters_per_s"}
+TIMING_KEYS = {"phase_s", "ba_total_s", "ba_iters_per_s", "ba_call_s"}
 
 
 def test_reconstruction_bit_identical():
